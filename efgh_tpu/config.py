@@ -1,0 +1,185 @@
+"""Typed configuration for EFGH-TPU.
+
+The reference drives everything off a flat YAML dict loaded with
+``yaml.safe_load`` (reference main.py:31-32).  We keep the same YAML schema
+(same key names) so reference configs port over unchanged, but wrap it in a
+dataclass with defaults, validation, and a couple of TPU-only knobs
+(lattice capacities, mesh shape, dtype policy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import yaml
+
+
+def _as_tuple2(x) -> Tuple[float, float]:
+    return (x[0], x[1])
+
+
+@dataclasses.dataclass
+class Config:
+    # ---- general ----
+    test: Any = False                      # False | "test"
+    ckpt_dir: str = "./ckpts/rellis"
+    ckpt_path: str = ""                    # test-mode checkpoint
+    resume_path: Any = False
+    pretrained_path: Any = False
+    arch: str = "EFGH"
+    last_relu: bool = False
+    use_leaky: bool = True
+    bcn_use_bias: bool = True
+    bcn_use_norm: bool = True
+
+    # ---- dataset ----
+    dataset: str = "RELLIS_3D"
+    data_root: str = "/data/RELLIS-3D"
+    num_points: int = 65536
+    lidar_line: int = 64
+    lidar_fov_rad: Tuple[float, float] = (0.125, -0.125)
+    raw_cam_img_size: Tuple[int, int] = (900, 1600)
+    train_samples: int = -1
+    val_samples: int = -1
+    delta_ij_max: int = 40
+    translation_max: float = 10.0
+    accumulation_frame_num: int = 0
+    accumulation_frame_skip: int = 1
+    rand_init: str = ""                    # test-mode fixed perturbation CSV
+    save_image: bool = False
+
+    # ---- model ----
+    dim: int = 3
+    batch_size: int = 1
+    # [[scale, bcn_filter_radius], ...] — 5 lattice scales
+    # (reference configs/train_rellis.yaml:30-35)
+    scale_map: List[List[float]] = dataclasses.field(
+        default_factory=lambda: [[1.0, 1], [0.75, 1], [0.5, 1], [0.25, 1], [0.125, 1]]
+    )
+
+    # ---- loss ----
+    # lambda weights (reference configs/train_rellis.yaml:49-55)
+    lambda_: Dict[str, float] = dataclasses.field(
+        default_factory=lambda: {
+            "e_gn": 100.0,
+            "h_hrzn": 100.0,
+            "fov": 100.0,
+            "g_trs": 1000.0,
+            "g_depth": 0.1,
+            "g_mask": 1000.0,
+        }
+    )
+    fov_pos_num: int = 30
+    fov_neg_ratio: int = 5
+
+    # ---- training ----
+    weight_decay: float = 0.0
+    lr: float = 1e-4
+    epochs: int = 25
+    iter_iterval: int = 5000
+    workers: int = 4
+    convert_dict: Dict[str, str] = dataclasses.field(default_factory=dict)
+    grad_false_keys: List[str] = dataclasses.field(default_factory=list)
+
+    # decalibration ranges (reference configs/train_rellis.yaml:66-69)
+    dclb: Dict[str, float] = dataclasses.field(
+        default_factory=lambda: {
+            "l_rot_range": 1.0 / 6.0,
+            "l_trs_range": 2.0,
+            "c_rot_range": 1.0 / 6.0,
+        }
+    )
+
+    # ---- TPU-only knobs (no reference equivalent) ----
+    # Static per-scale lattice capacities (max unique lattice points). The
+    # reference's hash_cnt is data-dependent (reference
+    # nets/generate_data.py:139); TPU needs padded static shapes.
+    lattice_capacity: List[int] = dataclasses.field(
+        default_factory=lambda: [131072, 65536, 32768, 12288, 4096]
+    )
+    # dtype for conv trunks: "float32" (parity) or "bfloat16" (fast)
+    compute_dtype: str = "bfloat16"
+    # mesh: data-parallel axis size; -1 = all local devices
+    mesh_data: int = -1
+    seed: int = 0
+    log_every: int = 50
+    # depth/range scatter winner rule: "near" (min depth, physical) or "far"
+    projection_mode: str = "near"
+
+    extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    # -- dict-style access for reference-flavoured call sites --
+    def __getitem__(self, k):
+        if k == "lambda":
+            return self.lambda_
+        if hasattr(self, k):
+            return getattr(self, k)
+        return self.extra[k]
+
+    def get(self, k, default=None):
+        try:
+            return self[k]
+        except KeyError:
+            return default
+
+    def __contains__(self, k):
+        return k == "lambda" or hasattr(self, k) or k in self.extra
+
+    @property
+    def is_test(self) -> bool:
+        return bool(self.test)
+
+    @property
+    def range_img_size(self) -> Tuple[int, int]:
+        # (H/2, 2W) panoramic range image (reference nets/fnet.py:19)
+        return (self.raw_cam_img_size[0] // 2, self.raw_cam_img_size[1] * 2)
+
+    @property
+    def input_img_size(self) -> Tuple[int, int]:
+        # network image input is half-res of the raw camera image
+        # (reference data_loader/loader_utils.py:111-112)
+        return (self.raw_cam_img_size[0] // 2, self.raw_cam_img_size[1] // 2)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        d = dict(d)
+        if "lambda" in d:
+            d["lambda_"] = d.pop("lambda")
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in known}
+        extra = {k: v for k, v in d.items() if k not in known}
+        cfg = cls(**kwargs, extra=extra) if "extra" not in kwargs else cls(**kwargs)
+        if extra and "extra" in kwargs:
+            cfg.extra.update(extra)
+        cfg.lidar_fov_rad = _as_tuple2(cfg.lidar_fov_rad)
+        cfg.raw_cam_img_size = _as_tuple2(cfg.raw_cam_img_size)
+        cfg.validate()
+        return cfg
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f))
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["lambda"] = d.pop("lambda_")
+        extra = d.pop("extra")
+        d.update(extra)
+        return d
+
+    def save_yaml(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+    def validate(self) -> None:
+        assert self.dim == 3, "only 3-d point clouds are supported"
+        assert len(self.scale_map) == len(self.lattice_capacity), (
+            f"scale_map has {len(self.scale_map)} scales but lattice_capacity "
+            f"has {len(self.lattice_capacity)} entries"
+        )
+        assert self.num_points > 0
+        assert self.raw_cam_img_size[0] % 2 == 0 and self.raw_cam_img_size[1] % 2 == 0
