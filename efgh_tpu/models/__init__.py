@@ -1,0 +1,18 @@
+from efgh_tpu.models.backbone import EFGHBackbone
+from efgh_tpu.models.bcl import BilateralConvFlex
+from efgh_tpu.models.enet import Enet
+from efgh_tpu.models.fnet import Fnet
+from efgh_tpu.models.gnet import Gnet
+from efgh_tpu.models.hnet import Hnet
+from efgh_tpu.models.resnet import ResNet18Encoder, ResNet18Trunk
+from efgh_tpu.models.vgg import VGGFeatures, vgg11_bn, vgg11_bn_modified
+
+# model registry, mirroring the reference's reflection-based construction
+# (reference main.py:126: nets.__dict__[args['arch'] + 'Backbone'])
+MODELS = {
+    "EFGH": EFGHBackbone,
+}
+
+
+def build_model(cfg):
+    return MODELS[cfg.arch].from_config(cfg)

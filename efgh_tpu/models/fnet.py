@@ -1,0 +1,135 @@
+"""F-net: forward-direction (yaw) alignment.
+
+Renders the E-rotated cloud to a panoramic range image, extracts twin
+VGG11-bn-modified + deconv features for the camera and range images, and
+cross-correlates the camera feature (as a conv kernel) over the circularly
+padded range feature to score 360 degrees of yaw; argmax decodes the yaw
+rotation (reference nets/fnet.py).
+
+The dead `DEVICE == "RELLIS_3D"` device-vs-dataset-name comparison in the
+reference (reference nets/fnet.py:33, always False) is made an explicit
+config: `target_forward` defaults to (1, 0, 0), matching the reference's
+actual behavior.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from efgh_tpu.geometry import (
+    range_image_from_pc,
+    rotation_matrix_between_vectors_batched,
+    vector_from_radian,
+)
+from efgh_tpu.models.layers import ConvBNRelu, ConvTBNRelu
+from efgh_tpu.models.vgg import VGGFeatures
+
+
+def circular_assign(feat: jnp.ndarray, offset: int) -> jnp.ndarray:
+    """Pad the yaw axis: a *flipped* copy of the right tail on the left plus
+    the plain left head on the right (reference common/torch_utils.py:271-284
+    — the left wrap is reversed there; behavior preserved).
+
+    Args:
+      feat: (B, H, W, C) NHWC feature map.
+    """
+    left = jnp.flip(feat[:, :, -offset:, :], axis=2)
+    right = feat[:, :, :offset, :]
+    return jnp.concatenate([left, feat, right], axis=2)
+
+
+class FeatureTower(nn.Module):
+    """vgg11_bn_modified + 3 deconv stages -> 16-channel feature map
+    (reference nets/fnet.py:22-31)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = VGGFeatures(cfg="C", name="vgg")(x, train=train)
+        x = ConvTBNRelu(128, (3, 3), (2, 2), (1, 1), name="deconv1")(x, train)
+        x = ConvTBNRelu(32, (3, 3), (2, 2), (0, 0), name="deconv2")(x, train)
+        x = ConvTBNRelu(16, (3, 3), (2, 2), (1, 1), name="deconv3")(x, train)
+        return x
+
+
+class Fnet(nn.Module):
+    range_img_size: Tuple[int, int] = (450, 3200)
+    lidar_fov_rad: Tuple[float, float] = (0.125, -0.125)
+    target_forward: Tuple[float, float, float] = (1.0, 0.0, 0.0)
+    projection_mode: str = "near"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pc: jnp.ndarray, ret: dict, train: bool = True):
+        """Args:
+          pc: (B, 3, N) cloud.
+          ret: running result dict with 'e_l' and 'h_img'.
+        Returns:
+          ret updated with f_score, f_l, composed sensor2_T_sensor1.
+        """
+        b, _, n = pc.shape
+        ones = jnp.ones((b, 1, n), pc.dtype)
+        pc1 = jnp.concatenate([pc, ones], axis=1)
+        e_pc = jax.lax.stop_gradient(ret["e_l"]) @ pc1  # (B, 4, N)
+
+        e_range = jax.vmap(
+            lambda p: range_image_from_pc(
+                p[:3], self.range_img_size, self.lidar_fov_rad,
+                mode=self.projection_mode,
+            )
+        )(e_pc)  # (B, 4, H, W)
+        e_range = jnp.transpose(e_range, (0, 2, 3, 1)).astype(self.compute_dtype)
+
+        h_img = jnp.transpose(ret["h_img"], (0, 2, 3, 1)).astype(self.compute_dtype)
+
+        cam = FeatureTower(name="camera_tower")(h_img, train=train)
+        cam_feat = cam / (jnp.max(cam) - jnp.min(cam))
+
+        rng = ConvBNRelu(3, (1, 2), (1, 1), (0, 0), name="conv_range")(
+            e_range, train=train
+        )
+        rng = FeatureTower(name="range_tower")(rng, train=train)
+        rng_feat = rng / (jnp.max(rng) - jnp.min(rng))
+
+        offset = rng_feat.shape[2] // 8
+        rng_pad = circular_assign(rng_feat, offset)  # (B, H, W+2o, C)
+
+        # cross-correlate: camera feature is the conv kernel
+        # (reference nets/fnet.py:79: F.conv2d(rng_feat, cam_feat))
+        def corr(r, c):
+            # r: (H, Wp, C); c: (H, w, C) -> (W',)
+            out = jax.lax.conv_general_dilated(
+                r[None].astype(jnp.float32),
+                c[..., None].astype(jnp.float32),  # (H, w, C, 1) HWIO
+                window_strides=(1, 1),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return out[0, 0, :, 0]
+
+        score = jax.vmap(corr)(rng_pad, cam_feat)  # (B, W')
+        # reference divides by batch*channels with batch hard-coded 1 in
+        # practice (reference nets/fnet.py:80); per-sample this is C.
+        score = score / cam_feat.shape[-1]
+        f_score = jax.nn.sigmoid(score)
+
+        f_idx = jnp.argmax(f_score, axis=1).astype(jnp.float32)
+        width = f_score.shape[-1]
+        f_rad = -(f_idx / (width - 1)) * 2.0 * math.pi + math.pi
+        f_fwd = vector_from_radian(f_rad)  # (B, 3, 1)
+        target = jnp.broadcast_to(
+            jnp.asarray(self.target_forward)[None, :, None], f_fwd.shape
+        )
+        f_T = rotation_matrix_between_vectors_batched(
+            jax.lax.stop_gradient(f_fwd), target
+        )
+
+        ret = dict(ret)
+        ret["f_score"] = f_score
+        ret["f_l"] = f_T
+        ret["sensor2_T_sensor1"] = f_T @ ret["sensor2_T_sensor1"]
+        return ret

@@ -1,0 +1,109 @@
+"""G-net: translation refinement.
+
+An image U-Net (ResNet18 encoder + deconv decoder) predicts dense depth and a
+validity mask; the EF-aligned cloud is projected to a sparse camera-frame
+depth image and fused with the image features through a second ResNet18
+trunk, ending in a 3-vector translation (reference nets/gnet.py).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from efgh_tpu.geometry import depth_image_from_pc, translation_matrix_from_vector
+from efgh_tpu.models.layers import (
+    Conv,
+    ConvBNRelu,
+    ConvTBNRelu,
+    concat_crop,
+    normal_init,
+)
+from efgh_tpu.models.resnet import ResNet18Encoder, ResNet18Trunk
+
+
+class Gnet(nn.Module):
+    raw_cam_img_size: Tuple[int, int] = (900, 1600)
+    projection_mode: str = "near"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pc: jnp.ndarray, img: jnp.ndarray, ret: dict,
+                 train: bool = True):
+        """Args:
+          pc: (B, 3, N) cloud (LiDAR frame, decalibrated).
+          img: (B, 3, H, W) input image.
+          ret: running dict with 'sensor2_T_sensor1' and 'efh_cam_T_velo'.
+        Returns:
+          ret updated with g_depth, g_mask, g_trs, g_l, composed transform.
+        """
+        x = jnp.transpose(img, (0, 2, 3, 1)).astype(self.compute_dtype)
+
+        # ---- image U-Net (reference nets/gnet.py:103-124) ----
+        c1 = ConvBNRelu(64, (3, 3), (1, 1), (1, 1), name="conv_i0")(x, train)
+        c2, c3, c4, c5 = ResNet18Encoder(name="img_encoder")(c1, train)
+
+        d4 = ConvTBNRelu(256, (3, 3), (2, 2), (1, 1), (1, 1), name="convt_img4")(
+            c5, train
+        )
+        d3 = ConvTBNRelu(128, (3, 3), (2, 2), (1, 1), (1, 1), name="convt_img3")(
+            concat_crop(c4, d4), train
+        )
+        d2 = ConvTBNRelu(64, (3, 3), (2, 2), (1, 1), (1, 1), name="convt_img2")(
+            concat_crop(c3, d3), train
+        )
+        convt = jnp.concatenate([d2, c2], axis=-1)
+        dimg = ConvTBNRelu(1, (3, 3), (2, 2), (1, 1), (1, 1), name="convt_dimg")(
+            convt, train
+        )
+        mask = ConvTBNRelu(2, (3, 3), (2, 2), (1, 1), (1, 1), name="convt_mask")(
+            convt, train
+        )
+        mask = jax.nn.softmax(mask.astype(jnp.float32), axis=-1)
+
+        # ---- sparse depth from the EF-aligned pose ----
+        f_depth = jax.vmap(
+            lambda p, m: depth_image_from_pc(
+                p, m, self.raw_cam_img_size, mode=self.projection_mode
+            )
+        )(pc, jax.lax.stop_gradient(ret["efh_cam_T_velo"]))  # (B, 4, H, W)
+        f_depth = jnp.transpose(f_depth, (0, 2, 3, 1)).astype(self.compute_dtype)
+
+        # ---- fusion branch (reference nets/gnet.py:142-166) ----
+        ci = ConvBNRelu(32, (1, 1), (1, 1), (0, 0), name="conv_i1")(d2, train)
+        cd = ConvBNRelu(32, (3, 3), (2, 2), (1, 1), name="conv_d1")(f_depth, train)
+        fused = jnp.concatenate([ci, cd], axis=-1)
+        f5 = ResNet18Trunk(name="fusion_encoder")(fused, train)
+
+        t = ConvBNRelu(512, (1, 1), (1, 1), (0, 0), name="conv_trs_1")(f5, train)
+        t = ConvBNRelu(512, (1, 1), (1, 1), (0, 0), name="conv_trs_2")(t, train)
+        t = ConvBNRelu(512, (1, 1), (1, 1), (0, 0), name="conv_trs_3")(t, train)
+        b = t.shape[0]
+        t = t.reshape(b, -1, 512).astype(jnp.float32)  # (B, HW, 512)
+        t = Conv1dTorch(3, name="conv_trs_4")(t)  # (B, HW, 3)
+        trs = jnp.mean(t, axis=1)[..., None]  # (B, 3, 1)
+
+        g_T = translation_matrix_from_vector(jax.lax.stop_gradient(trs))
+
+        ret = dict(ret)
+        ret["g_depth"] = jnp.transpose(dimg.astype(jnp.float32), (0, 3, 1, 2))
+        ret["g_mask"] = jnp.transpose(mask, (0, 3, 1, 2))
+        ret["g_trs"] = trs
+        ret["g_l"] = g_T
+        ret["sensor2_T_sensor1"] = g_T @ ret["sensor2_T_sensor1"]
+        return ret
+
+
+class Conv1dTorch(nn.Module):
+    """Conv1d k1 with torch default init (plain dense over the last axis)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        from efgh_tpu.models.layers import DenseTorch
+
+        return DenseTorch(self.features)(x)
