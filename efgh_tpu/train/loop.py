@@ -1,0 +1,228 @@
+"""Training / validation / test drivers (reference iterater.py, valid.py,
+test.py), with one compiled step function and data-parallel sharding.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from efgh_tpu.config import Config
+from efgh_tpu.losses import EFGHCriterion
+from efgh_tpu.parallel import create_mesh, replicate, shard_batch
+from efgh_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from efgh_tpu.train.metrics import Err, Lss
+from efgh_tpu.train.state import TrainState, create_optimizer, create_state
+
+
+def make_train_step(model, criterion: EFGHCriterion,
+                    tx: optax.GradientTransformation):
+    """One compiled SGD step: forward, loss, backward, Adam update.
+    Donated state buffers keep HBM flat."""
+
+    def train_step(state: TrainState, batch):
+        def loss_fn(params):
+            pred, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["pc"], batch["img"], batch["calib"], batch["A"],
+                train=True, mutable=["batch_stats"],
+            )
+            losses, gt = criterion.compute_loss(batch["pc"], batch["gts"], pred)
+            aux = (losses, mut["batch_stats"],
+                   pred["sensor2_T_sensor1"], gt["sensor2_T_sensor1"])
+            return losses["total"], aux
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (losses, new_bs, pred_t, gt_t)), grads = grad_fn(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=params,
+            batch_stats=new_bs, opt_state=opt_state,
+        )
+        return new_state, {"losses": losses, "pred_s2s1": pred_t,
+                           "gt_s2s1": gt_t}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, criterion: Optional[EFGHCriterion] = None,
+                   with_loss: bool = True):
+    def eval_step(state: TrainState, batch):
+        pred = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["pc"], batch["img"], batch["calib"], batch["A"],
+            train=False,
+        )
+        out = {"pred_s2s1": pred["sensor2_T_sensor1"],
+               "cam_T_velo": pred["cam_T_velo"]}
+        if with_loss and criterion is not None:
+            losses, gt = criterion.compute_loss(batch["pc"], batch["gts"], pred)
+            out["losses"] = losses
+            out["gt_s2s1"] = gt["sensor2_T_sensor1"]
+        elif "gts" in batch and "sensor2_T_sensor1" in batch["gts"]:
+            out["gt_s2s1"] = batch["gts"]["sensor2_T_sensor1"]
+        return out
+
+    return jax.jit(eval_step)
+
+
+def _device_batch(batch, mesh):
+    db = {k: batch[k] for k in ("pc", "img", "calib", "A")}
+    db["gts"] = batch["gts"]
+    return shard_batch(db, mesh)
+
+
+def validate(pipeline, state, eval_step, mesh, dataset_name: str,
+             loss_names) -> Dict:
+    """No-grad pass accumulating losses + errors (reference valid.py:13-68)."""
+    lss = Lss(loss_names)
+    err = Err(dataset_name)
+    for batch in pipeline:
+        out = eval_step(state, _device_batch(batch, mesh))
+        bsz = batch["pc"].shape[0]
+        lss.update({k: float(v) for k, v in out["losses"].items()}, bsz)
+        err.update_batch(np.asarray(out["gt_s2s1"]),
+                         np.asarray(out["pred_s2s1"]))
+    return {"loss": lss.dict, "err": err.dict}
+
+
+def train(cfg: Config, model, train_ds, val_ds, summary=None):
+    """Main training driver (reference main.py:178-209 + iterater.py)."""
+    mesh = create_mesh(cfg.mesh_data)
+    criterion = EFGHCriterion(cfg)
+    tx = create_optimizer(cfg)
+
+    train_pipe = _pipeline(cfg, train_ds, shuffle=True)
+    val_pipe = _pipeline(cfg, val_ds, shuffle=False)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    init_batch = next(iter(_pipeline(cfg, train_ds, shuffle=False)))
+    state = create_state(model, cfg, init_batch, rng)
+    state = replicate(state, mesh)
+    start_meta = {"min_val_loss": float("inf"), "best_val_iter": -1}
+
+    if cfg.resume_path:
+        state, meta = restore_checkpoint(str(cfg.resume_path), state)
+        state = replicate(state, mesh)
+        if meta:
+            start_meta.update(meta)
+        print(f"=> resumed from {cfg.resume_path} at iter {int(state.step)}")
+
+    from efgh_tpu.train.state import param_count
+    print(f"=> total model parameters: {param_count(state.params)/1e6:.2f}M")
+
+    train_step = make_train_step(model, criterion, tx)
+    eval_step = make_eval_step(model, criterion)
+
+    lss = Lss(criterion.loss_name)
+    err = Err(cfg.dataset)
+    max_iter = cfg.epochs * len(train_pipe)
+    t_last = time.time()
+
+    while int(state.step) < max_iter:
+        for batch in train_pipe:
+            it = int(state.step)
+            if it >= max_iter:
+                break
+            state, out = train_step(state, _device_batch(batch, mesh))
+            bsz = batch["pc"].shape[0]
+            lss.update({k: float(v) for k, v in out["losses"].items()}, bsz)
+            err.update_batch(np.asarray(out["gt_s2s1"]),
+                             np.asarray(out["pred_s2s1"]))
+
+            if it % cfg.log_every == 0:
+                dt = time.time() - t_last
+                t_last = time.time()
+                print(f"[i] iter {it} total {lss.dict['total'].avg:.2f} "
+                      f"rot {err.dict.get('rot_mean', 0):.3f} "
+                      f"trs {err.dict.get('trs_mean', 0):.3f} ({dt:.1f}s)")
+
+            if it % cfg.iter_iterval == 0 and it != 0:
+                if summary is not None:
+                    _summarize(summary, "train", it, lss, err)
+                val = validate(val_pipe, state, eval_step, mesh, cfg.dataset,
+                               criterion.loss_name)
+                if summary is not None:
+                    _summarize_val(summary, it, val)
+                val_total = val["loss"]["total"].avg
+                is_best = val_total < start_meta["min_val_loss"]
+                if is_best:
+                    start_meta["min_val_loss"] = val_total
+                    start_meta["best_val_iter"] = it
+                    print("New min val loss!")
+                save_checkpoint(state, cfg.ckpt_dir, is_best,
+                                cfg.iter_iterval, meta=start_meta)
+                print(f"Best val loss: {start_meta['min_val_loss']:.5f} at "
+                      f"iter {start_meta['best_val_iter']}")
+                lss.flush()
+                err.flush()
+
+    save_checkpoint(state, cfg.ckpt_dir, False, cfg.iter_iterval,
+                    meta=start_meta)
+    return state
+
+
+def test(cfg: Config, model, test_ds, state=None):
+    """Deterministic evaluation writing the per-sample pred CSV
+    (reference test.py:13-85)."""
+    mesh = create_mesh(cfg.mesh_data)
+    eval_step = make_eval_step(model, criterion=None, with_loss=False)
+
+    pipe = _pipeline(cfg, test_ds, shuffle=False, drop_last=False)
+    if state is None:
+        rng = jax.random.PRNGKey(0)
+        init_batch = next(iter(pipe))
+        state = create_state(model, cfg, init_batch, rng)
+        state, _ = restore_checkpoint(str(cfg.ckpt_path), state)
+    state = replicate(state, mesh)
+
+    ckpt_name = os.path.basename(os.path.dirname(str(cfg.ckpt_path))) or "ckpt"
+    rand_init_name = os.path.basename(str(cfg.rand_init)) or "rand_init.csv"
+    save_dir = os.path.join("test", "preds", ckpt_name)
+    os.makedirs(save_dir, exist_ok=True)
+    pred_path = os.path.join(save_dir, rand_init_name.replace("rand_init", "pred"))
+    print("Prediction csv:", pred_path)
+
+    err = Err(cfg.dataset)
+    with open(pred_path, "w") as f:
+        for batch in pipe:
+            out = eval_step(state, _device_batch(batch, mesh))
+            pred = np.asarray(out["pred_s2s1"])
+            gt = np.asarray(batch["gts"]["sensor2_T_sensor1"])
+            err.update_batch(gt, pred)
+            for b, fname in enumerate(batch["fnames"]):
+                row = pred[b, :3, :].flatten()
+                f.write(fname + "," + ",".join(str(x) for x in row) + ",\n")
+    print("Error; ", " ".join(f"{k} {v:.4f}" for k, v in err.dict.items()))
+    print("[i] Test finished.")
+    return err.dict
+
+
+def _pipeline(cfg: Config, ds, shuffle: bool, drop_last: bool = True):
+    from efgh_tpu.data import DataPipeline
+
+    return DataPipeline(ds, batch_size=cfg.batch_size, shuffle=shuffle,
+                        num_workers=cfg.workers, drop_last=drop_last,
+                        seed=cfg.seed)
+
+
+def _summarize(summary, mode, it, lss, err):
+    for k, m in lss.dict.items():
+        summary.add_scalar(f"{mode}_loss/{k}", m.avg, it)
+    for k, v in err.dict.items():
+        summary.add_scalar(f"{mode}_error/{k}", v, it)
+
+
+def _summarize_val(summary, it, val):
+    for k, m in val["loss"].items():
+        summary.add_scalar(f"valid_loss/{k}", m.avg, it)
+    for k, v in val["err"].items():
+        summary.add_scalar(f"valid_error/{k}", v, it)

@@ -1,0 +1,76 @@
+"""Train state + optimizer (reference main.py:178-198, common/helper.py:28-38)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from efgh_tpu.config import Config
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def lr_schedule(cfg: Config):
+    """lr * 0.7^(iter // 50000), decay-only
+    (reference common/helper.py:28-38)."""
+
+    def schedule(step):
+        return cfg.lr * (0.7 ** (step // 50000))
+
+    return schedule
+
+
+def create_optimizer(cfg: Config) -> optax.GradientTransformation:
+    tx = optax.adam(learning_rate=lr_schedule(cfg))
+    if cfg.weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
+    if cfg.grad_false_keys:
+        # freeze parameter subtrees whose path contains any listed key
+        # (reference main.py:226-235)
+        frozen_keys = tuple(cfg.grad_false_keys)
+
+        def label(params):
+            def walk(path, x):
+                p = "/".join(str(k.key) for k in path if hasattr(k, "key"))
+                return "frozen" if any(f in p for f in frozen_keys) else "train"
+
+            return jax.tree_util.tree_map_with_path(walk, params)
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label
+        )
+    return tx
+
+
+def create_state(model, cfg: Config, sample_batch, rng) -> TrainState:
+    variables = model.init(
+        rng,
+        jnp.asarray(sample_batch["pc"]),
+        jnp.asarray(sample_batch["img"]),
+        jnp.asarray(sample_batch["calib"]),
+        jnp.asarray(sample_batch["A"]),
+        train=False,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = create_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def param_count(params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
