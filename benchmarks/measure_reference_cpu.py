@@ -25,18 +25,19 @@ def _stub_numba():
     registers a dict-backed int64->int64 'hash table'."""
     numba = types.ModuleType("numba")
 
-    def njit(*args, **kwargs):
-        if len(args) == 1 and callable(args[0]):
-            return args[0]
-        def deco(f):
-            return f
-        return deco
-
     class _Sig:
         def __call__(self, *a, **k):
             return self
         def __getitem__(self, item):
             return self
+
+    def njit(*args, **kwargs):
+        # bare @njit on a function; @njit(signature) returns a decorator
+        if len(args) == 1 and callable(args[0]) and not isinstance(args[0], _Sig):
+            return args[0]
+        def deco(f):
+            return f
+        return deco
 
     numba.njit = njit
     numba.int64 = _Sig()

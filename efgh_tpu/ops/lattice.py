@@ -5,21 +5,28 @@ khash int64 hash table driven by numba-JIT loops (reference
 nets/transforms.py:126-183, nets/generate_data.py:117-193, lib/khash.h).
 That design forces a device->host->device round trip per step.
 
-TPU-native redesign (no hash table, no dynamic shapes):
-  * every point's d+1 simplex-vertex keys are packed into a (hi, lo) uint32
-    pair (4 coords x 16 bits);
-  * deduplication = one `lax.sort` + neighbor-compare + cumsum, giving each
-    key its unique-cell rank in sorted order;
-  * the blur neighbor table = vectorized binary search of offset keys in the
-    sorted unique-key array;
-  * dynamic cell counts are padded to a static per-scale capacity with a
-    validity mask; padded/invalid points are teleported far away so their
-    phantom cells can never be lattice-neighbors of real cells.
+TPU-native redesign — built around what the hardware is actually good at
+(sorts, scans, dense math) and avoiding what it is terrible at (random
+gather; a 2M-element gather measures ~90 MB/s on v5e):
 
-Cell ordering differs from the reference (sorted-key order vs. hash insertion
+  * each simplex-vertex key packs into ONE uint32: 3 coords x 10 bits + a
+    2-bit sum class (the 4th permutohedral coordinate is determined by the
+    coordinate sum, which lattice/blur offsets never change);
+  * deduplication = one `lax.sort` + neighbor-compare + cumsum;
+  * the blur neighbor table = a second sort that MERGES cell keys with all
+    offset-shifted cell keys, then a forward-fill associative scan recovers
+    each query's matching cell — zero random gathers (offset shifts are
+    order-preserving, so +delta keys merge monotonically);
+  * barycentric weights and rank inversion use one-hot contractions over the
+    tiny d1 axis instead of scatters;
+  * dynamic cell counts pad to a static per-scale capacity with a validity
+    mask; invalid points are teleported far away (but inside the packing
+    range) so their phantom cells can never neighbor real cells.
+
+Cell ordering is sorted-key order (vs. the reference's hash insertion
 order) — a permutation that is provably irrelevant: features are consumed
-either per-point (via lattice_offset gathers) or through a permutation-
-invariant max-pool (reference nets/enet.py:154).
+either per-point (via lattice_offset) or through a permutation-invariant
+max-pool (reference nets/enet.py:154).
 """
 
 from __future__ import annotations
@@ -33,11 +40,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Coordinate packing: each lattice coordinate is offset by _BIAS and must fit
-# in 16 bits.  With a +-50 m crop and scale <= 1 the elevated coordinates stay
-# within a few hundred (see elevate_matrix) — far inside +-32767.
-_BIAS = 32768
-_FAR = 1.0e6  # teleport distance for invalid points (cells never adjacent)
+# Packing: 10-bit coordinate fields biased by _BIAS, valid range [0, _COORD_MAX].
+# With the production +-50 m crop and scale <= 1 the elevated coordinates stay
+# within ~+-300 (see elevate_matrix) — comfortably inside the +-512 window.
+# Out-of-range coordinates (teleported invalid points, rare outliers) clamp to
+# the _COORD_MAX boundary and collapse into boundary cells.
+_BIAS = 512
+_COORD_MAX = 1000
+_SENTINEL = jnp.uint32(0xFFFFFFFF)
+_FAR = 140.0  # invalid-point teleport (inside packing range, > any real cell)
 
 
 class LatticeScale(NamedTuple):
@@ -107,7 +118,8 @@ def filter_offsets(radius: int, d0: int) -> np.ndarray:
     Enumerates i in [0..radius]^{d1} minus the all-positive corner, offset =
     sum_d i_d * (d1*e_d - 1), in lexicographic order — the same set and order
     produced by the reference's recursive Traverse.walk_cuboid (reference
-    nets/transforms.py:104-122).
+    nets/transforms.py:104-122).  All offsets are zero-sum (they stay on the
+    lattice hyperplane), which the uint32 packing relies on.
     """
     d1 = d0 + 1
     offs = []
@@ -120,6 +132,7 @@ def filter_offsets(radius: int, d0: int) -> np.ndarray:
         offs.append(off)
     out = np.stack(offs).astype(np.int32)
     assert out.shape[0] == (radius + 1) ** d1 - radius ** d1
+    assert np.all(out.sum(axis=1) == 0)
     return out
 
 
@@ -132,8 +145,10 @@ def get_keys_and_barycentric(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Enclosing-simplex keys and barycentric weights for each point.
 
-    Vectorized port of reference nets/generate_data.py:56-112 (already
-    loop-free there; runs on-device here).
+    Scatter-free port of reference nets/generate_data.py:56-112: the rank is
+    computed by pairwise comparison counting (stable, descending) and the
+    barycentric rows by one-hot contraction over the tiny d1 axis — TPU
+    scatters cost ~10 ms at this size, the one-hot math is free.
 
     Args:
       pc: (d0, N) scaled points.
@@ -144,16 +159,19 @@ def get_keys_and_barycentric(
     """
     d1 = d0 + 1
     n = pc.shape[1]
-    pidx = jnp.arange(n)
 
     elevated = (elevate_matrix(d0) @ pc.astype(jnp.float32)) * expected_std(d0)
     greedy = jnp.round(elevated / d1) * d1
     el_minus_gr = elevated - greedy
 
-    order = jnp.argsort(-el_minus_gr, axis=0)  # descending
-    rank = jnp.zeros((d1, n), jnp.int32).at[order, pidx[None, :]].set(
-        jnp.broadcast_to(jnp.arange(d1, dtype=jnp.int32)[:, None], (d1, n))
-    )
+    # stable descending rank via comparison counting:
+    # rank[v] = #{u : el[u] > el[v]} + #{u < v : el[u] == el[v]}
+    el_u = el_minus_gr[:, None, :]  # (u, 1, N)
+    el_v = el_minus_gr[None, :, :]  # (1, v, N)
+    gt = (el_u > el_v).astype(jnp.int32).sum(0)
+    lower = jnp.tril(jnp.ones((d1, d1), jnp.int32), k=-1)  # u < v
+    eq_prior = jnp.einsum("uvn,uv->vn", (el_u == el_v).astype(jnp.int32), lower)
+    rank = gt + eq_prior  # (d1, N)
 
     remainder_sum = jnp.sum(greedy, axis=0, keepdims=True) / d1  # (1, N)
     rank_f = rank.astype(jnp.float32)
@@ -170,48 +188,66 @@ def get_keys_and_barycentric(
     el_minus_gr = elevated - greedy
     greedy_i = greedy.astype(jnp.int32)
 
-    bary = jnp.zeros((d1 + 1, n), jnp.float32)
-    bary = bary.at[d0 - rank, pidx[None, :]].add(el_minus_gr)
-    bary = bary.at[d1 - rank, pidx[None, :]].add(-el_minus_gr)
-    bary = bary / d1
+    # barycentric rows by one-hot contraction (reference
+    # nets/generate_data.py:99-104):
+    #   bary[r] += el[v] where rank[v] == d0 - r
+    #   bary[r] -= el[v] where rank[v] == d1 - r
+    rows = jnp.arange(d1 + 1, dtype=jnp.int32)
+    plus = jnp.einsum(
+        "vn,rvn->rn", el_minus_gr,
+        (rank[None, :, :] == (d0 - rows)[:, None, None]).astype(jnp.float32),
+    )
+    minus = jnp.einsum(
+        "vn,rvn->rn", el_minus_gr,
+        (rank[None, :, :] == (d1 - rows)[:, None, None]).astype(jnp.float32),
+    )
+    bary = (plus - minus) / d1
     bary = bary.at[0, :].add(1.0 + bary[d1, :])
     bary = bary[:-1, :]
 
-    canonical = jnp.asarray(_canonical_np(d0))
-    keys = greedy_i[:, :, None] + canonical[rank, :]  # (d1, N, d1)
+    # The key of simplex vertex ("remainder") r of point n is the COORDINATE
+    # vector keys[r, n, :] with keys[r, n, v] = greedy[v, n] +
+    # canonical[rank[v, n], r]  (reference indexes pc1_keys_np[:, point,
+    # remainder], reference nets/transforms.py:155 — coordinate axis first).
+    # One-hot contraction instead of a table gather:
+    canonical = jnp.asarray(_canonical_np(d0))  # (d1, d1): [rank_row, remainder]
+    rank_oh = (
+        rank[:, :, None] == jnp.arange(d1, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.int32)  # (v, N, rank_row)
+    keys_vnr = greedy_i[:, :, None] + jnp.einsum(
+        "vnj,jr->vnr", rank_oh, canonical
+    )  # (coord v, N, remainder r)
+    keys = jnp.transpose(keys_vnr, (2, 1, 0))  # (remainder, N, coord)
     return keys, bary, el_minus_gr
 
 
-def _pack_keys(keys: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(..., 4) int32 lattice coords -> ((...,) uint32 hi, (...,) uint32 lo)."""
-    k = (keys + _BIAS).astype(jnp.uint32)
-    hi = (k[..., 0] << 16) | k[..., 1]
-    lo = (k[..., 2] << 16) | k[..., 3]
-    return hi, lo
+def _pack_keys(keys: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) int32 lattice coords -> (...,) uint32 packed key.
+
+    Layout: k0[10] | k1[10] | k2[10] | sum_class[2].  Lattice keys sum to 0
+    (the elevation hyperplane; canonical columns and the fixed greedy both
+    sum to zero), so k3 is recoverable from k0..k2 and the class bits are a
+    constant guard; blur offsets are zero-sum so +delta stays monotonic in
+    packed-key order.
+    """
+    s_idx = keys.sum(-1).astype(jnp.uint32) & 0x3  # 0 for on-lattice keys
+    k = jnp.clip(keys[..., :3] + _BIAS, 0, _COORD_MAX).astype(jnp.uint32)
+    return (k[..., 0] << 22) | (k[..., 1] << 12) | (k[..., 2] << 2) | s_idx
 
 
-def _searchsorted_pair(
-    s_hi: jnp.ndarray, s_lo: jnp.ndarray, q_hi: jnp.ndarray, q_lo: jnp.ndarray
-) -> jnp.ndarray:
-    """Lower-bound binary search of query pairs in a lexicographically sorted
-    pair array.  Shapes: s_* (H,), q_* (...,); returns (...,) int32 positions."""
-    h = s_hi.shape[0]
-    steps = max(1, int(math.ceil(math.log2(max(h, 2)))))
-    lo_b = jnp.zeros(q_hi.shape, jnp.int32)
-    hi_b = jnp.full(q_hi.shape, h, jnp.int32)
+def _unpack_keys(packed: jnp.ndarray) -> jnp.ndarray:
+    """(...,) uint32 -> (..., 4) int32 lattice coords (sum-zero assumption)."""
+    k0 = ((packed >> 22) & 0x3FF).astype(jnp.int32) - _BIAS
+    k1 = ((packed >> 12) & 0x3FF).astype(jnp.int32) - _BIAS
+    k2 = ((packed >> 2) & 0x3FF).astype(jnp.int32) - _BIAS
+    k3 = -(k0 + k1 + k2)
+    return jnp.stack([k0, k1, k2, k3], axis=-1)
 
-    def body(_, carry):
-        lo_b, hi_b = carry
-        mid = (lo_b + hi_b) // 2
-        mh = s_hi[mid]
-        ml = s_lo[mid]
-        less = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
-        lo_b = jnp.where(less, mid + 1, lo_b)
-        hi_b = jnp.where(less, hi_b, mid)
-        return lo_b, hi_b
 
-    lo_b, _ = jax.lax.fori_loop(0, steps, body, (lo_b, hi_b))
-    return lo_b
+def _pack_offset_deltas(offs: np.ndarray) -> np.ndarray:
+    """Static (F,) int64 packed-key deltas of the (zero-sum) blur offsets."""
+    o = offs.astype(np.int64)
+    return (o[:, 0] << 22) + (o[:, 1] << 12) + (o[:, 2] << 2)
 
 
 def build_lattice_scale(
@@ -222,7 +258,7 @@ def build_lattice_scale(
     scale: float,
     build_next: bool = True,
 ) -> LatticeScale:
-    """Build one lattice scale with static shapes.
+    """Build one lattice scale with static shapes (see module docstring).
 
     Args:
       pc: (d0, P) points in the *unscaled* metric of this stage.
@@ -237,83 +273,93 @@ def build_lattice_scale(
     d1 = d0 + 1
     p = pc.shape[1]
 
-    # Teleport invalid points far away so their cells are isolated.
-    pts = jnp.where(valid[None, :], pc, _FAR)
+    # Teleport invalid points far away (but inside the packing range) so
+    # their cells are isolated from real geometry.
+    pts = jnp.where(valid[None, :], pc, _FAR / max(scale, 1e-6))
     keys, bary, el_minus_gr = get_keys_and_barycentric(pts * scale, d0)
     bary = jnp.where(valid[None, :], bary, 0.0)
 
-    # ---- dedup: sort packed keys ----
-    hi, lo = _pack_keys(keys)  # (d1, P) each
+    # ---- dedup: one sort over packed keys ----
+    u = _pack_keys(keys).reshape(d1 * p)
     m = d1 * p
-    hi_f = hi.reshape(m)
-    lo_f = lo.reshape(m)
-    coords = keys.reshape(m, d1)
     perm = jnp.arange(m, dtype=jnp.int32)
-    sorted_ops = jax.lax.sort(
-        (hi_f, lo_f, perm) + tuple(coords[:, i].astype(jnp.int32) for i in range(d1)),
-        num_keys=2,
-    )
-    s_hi, s_lo, s_perm = sorted_ops[0], sorted_ops[1], sorted_ops[2]
-    s_coords = jnp.stack(sorted_ops[3:], axis=-1)  # (M, d1)
-
-    is_new = jnp.concatenate(
-        [jnp.ones((1,), bool), (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1])]
-    )
+    s_key, s_perm = jax.lax.sort((u, perm), num_keys=1)
+    is_new = jnp.concatenate([jnp.ones((1,), bool), s_key[1:] != s_key[:-1]])
     rank_sorted = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # (M,)
     num_cells = rank_sorted[-1] + 1
 
-    # cell index per original flat key -> (d1, P)
-    offsets_flat = jnp.zeros((m,), jnp.int32).at[s_perm].set(rank_sorted)
+    rank_c = jnp.minimum(rank_sorted, capacity - 1)
+    offsets_flat = jnp.zeros((m,), jnp.int32).at[s_perm].set(rank_c)
     lattice_offset = offsets_flat.reshape(d1, p)
-    # Clamp to capacity (overflow cells alias the dump cell; see cell_valid).
-    overflowed = lattice_offset >= capacity
-    lattice_offset = jnp.where(overflowed, capacity - 1, lattice_offset)
-    bary = jnp.where(overflowed, 0.0, bary)
+    # capacity overflow: overflowing cells alias the last slot; their splat
+    # weights are dropped so they contribute nothing
+    overflow_flat = jnp.zeros((m,), bool).at[s_perm].set(rank_sorted >= capacity)
+    bary = jnp.where(overflow_flat.reshape(d1, p), 0.0, bary)
 
-    # unique cell coords (sorted order), padded with +inf sentinel
-    first_pos = jnp.full((capacity,), m, jnp.int32).at[
-        jnp.minimum(rank_sorted, capacity - 1)
-    ].min(jnp.arange(m, dtype=jnp.int32), mode="drop")
+    # unique cell keys in rank (=sorted) order via a unique-index scatter
+    uidx = jnp.where(is_new & (rank_sorted < capacity), rank_sorted, capacity)
+    cell_key = jnp.full((capacity + 1,), _SENTINEL).at[uidx].set(
+        s_key, mode="drop"
+    )[:capacity]
     slot_ids = jnp.arange(capacity, dtype=jnp.int32)
-    in_use = slot_ids < jnp.minimum(num_cells, capacity)
-    gather_pos = jnp.where(in_use, jnp.minimum(first_pos, m - 1), 0)
-    cell_coords = jnp.where(
-        in_use[:, None], s_coords[gather_pos], _BIAS - 1  # sentinel = max coord
-    )  # (H, d1)
+    in_use = slot_ids < num_cells
 
     # which cells are reachable from *valid* points (phantom-cell mask)
-    touched = jnp.zeros((capacity,), jnp.float32).at[lattice_offset.reshape(-1)].add(
+    touched = jnp.zeros((capacity,), jnp.float32).at[
+        lattice_offset.reshape(-1)
+    ].add(
         jnp.broadcast_to(valid[None, :], (d1, p)).reshape(-1).astype(jnp.float32),
         mode="drop",
     )
     cell_valid = in_use & (touched > 0)
 
-    # ---- blur neighbor table ----
+    # ---- blur neighbor table: sort-merge, no random gathers ----
     if radius >= 0:
-        offs = jnp.asarray(filter_offsets(radius, d0))  # (F, d1)
-        qkeys = cell_coords[None, :, :] + offs[:, None, :]  # (F, H, d1)
-        q_hi, q_lo = _pack_keys(qkeys)
-        c_hi, c_lo = _pack_keys(cell_coords)
-        pos = _searchsorted_pair(c_hi, c_lo, q_hi, q_lo)
-        pos_c = jnp.minimum(pos, capacity - 1)
+        offs = filter_offsets(radius, d0)
+        deltas = _pack_offset_deltas(offs)  # static int64 (F,)
+        f = offs.shape[0]
+        # queries: every cell key shifted by every offset delta (exact uint32
+        # arithmetic: fields have >= 200 units of margin, offsets are <= d1)
+        q = cell_key[None, :] + jnp.asarray(
+            deltas.astype(np.int64) % (1 << 32), np.uint32
+        )[:, None]  # (F, H)
+        all_key = jnp.concatenate([cell_key, q.reshape(f * capacity)])
+        all_id = jnp.concatenate([
+            slot_ids, capacity + jnp.arange(f * capacity, dtype=jnp.int32)
+        ])
+        sk, sid = jax.lax.sort((all_key, all_id), num_keys=2)  # cells first on ties
+        is_cell = sid < capacity
+
+        # forward-fill the most recent cell's (key, id) over the sorted stream
+        carry_key = jnp.where(is_cell, sk, 0)
+        carry_id = jnp.where(is_cell, sid, -1)
+
+        def comb(a, b):
+            ak, ai = a
+            bk, bi = b
+            take_b = bi >= 0
+            return jnp.where(take_b, bk, ak), jnp.where(take_b, bi, ai)
+
+        f_key, f_id = jax.lax.associative_scan(comb, (carry_key, carry_id))
         found = (
-            (c_hi[pos_c] == q_hi)
-            & (c_lo[pos_c] == q_lo)
-            & (pos < capacity)
-            & in_use[pos_c]
+            (~is_cell) & (f_id >= 0) & (f_key == sk) & (f_id < num_cells)
         )
-        blur_neighbors = jnp.where(found, pos_c, -1).astype(jnp.int32)
+        neighbor = jnp.where(found, f_id, -1)
+        out_idx = jnp.where(~is_cell, sid - capacity, f * capacity)
+        blur_flat = jnp.full((f * capacity,), -1, jnp.int32).at[out_idx].set(
+            neighbor, mode="drop"
+        )
+        blur_neighbors = blur_flat.reshape(f, capacity)
         blur_neighbors = jnp.where(in_use[None, :], blur_neighbors, -1)
     else:
         blur_neighbors = jnp.full((1, capacity), -1, jnp.int32)
 
-    # ---- coarsened next-scale points ----
+    # ---- coarsened next-scale points (coords unpacked, no gather) ----
     if build_next:
+        coords = _unpack_keys(cell_key).astype(jnp.float32)  # (H, d1)
         denom = expected_std(d0) * scale
-        next_pts = elevate_matrix(d0).T @ (
-            cell_coords.T.astype(jnp.float32) / denom
-        )  # (d0, H)
-        next_pts = jnp.where(cell_valid[None, :], next_pts, _FAR)
+        next_pts = elevate_matrix(d0).T @ (coords.T / denom)  # (d0, H)
+        next_pts = jnp.where(cell_valid[None, :], next_pts, _FAR * 2.0)
     else:
         next_pts = jnp.zeros((d0, capacity), jnp.float32)
 

@@ -188,8 +188,26 @@ def test(cfg: Config, model, test_ds, state=None):
     rand_init_name = os.path.basename(str(cfg.rand_init)) or "rand_init.csv"
     save_dir = os.path.join("test", "preds", ckpt_name)
     os.makedirs(save_dir, exist_ok=True)
-    pred_path = os.path.join(save_dir, rand_init_name.replace("rand_init", "pred"))
+    if cfg.dataset == "KITTI_RAW":
+        suffix = rand_init_name[20:-4]
+        pred_path = os.path.join(save_dir, f"kitti_raw_pred_{suffix}.csv")
+    else:
+        pred_path = os.path.join(save_dir,
+                                 rand_init_name.replace("rand_init", "pred"))
     print("Prediction csv:", pred_path)
+
+    # KITTI_RAW predictions are reported in the unrectified-cam0 frame
+    # (reference test.py:91-100,130-132)
+    kitti_raw_premul = np.array(
+        [[7.027555e-03, -9.999753e-01, 2.599616e-05, -7.137748e-03],
+         [-2.254837e-03, -4.184312e-05, -9.999975e-01, -7.482656e-02],
+         [9.999728e-01, 7.027479e-03, -2.255075e-03, -3.336324e-01],
+         [0.0, 0.0, 0.0, 1.0]])
+    kitti_raw_premul = np.array(
+        [[0.999928, 0.00808599, -0.0088668, 0.0],
+         [-0.0081232, 0.9999583, -0.00416975, 0.0],
+         [0.00883271, 0.00424148, 0.999952, 0.0],
+         [0.0, 0.0, 0.0, 1.0]]) @ kitti_raw_premul
 
     err = Err(cfg.dataset)
     with open(pred_path, "w") as f:
@@ -199,7 +217,11 @@ def test(cfg: Config, model, test_ds, state=None):
             gt = np.asarray(batch["gts"]["sensor2_T_sensor1"])
             err.update_batch(gt, pred)
             for b, fname in enumerate(batch["fnames"]):
-                row = pred[b, :3, :].flatten()
+                if cfg.dataset == "KITTI_RAW":
+                    row = (kitti_raw_premul @ pred[b])[:3, :].flatten()
+                    fname = fname.split("/")[-1]
+                else:
+                    row = pred[b, :3, :].flatten()
                 f.write(fname + "," + ",".join(str(x) for x in row) + ",\n")
     print("Error; ", " ".join(f"{k} {v:.4f}" for k, v in err.dict.items()))
     print("[i] Test finished.")

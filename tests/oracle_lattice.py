@@ -49,8 +49,13 @@ def keys_and_barycentric_np(pc, d0=3):
     bary[0] += 1.0 + bary[d1]
     bary = bary[:-1]
 
+    # key of remainder r of point n = coordinate vector over v:
+    # greedy[v, n] + canonical[rank[v, n], r]  (reference uses
+    # pc1_keys_np[:, point, remainder] — coordinate axis first); returned
+    # as (remainder, N, coord)
     canonical = _canonical_np(d0)
-    keys = greedy.astype(np.int64)[:, :, None] + canonical[rank, :]
+    keys_vnr = greedy.astype(np.int64)[:, :, None] + canonical[rank, :]
+    keys = np.transpose(keys_vnr, (2, 1, 0))
     return keys, bary.astype(np.float32), el_minus_gr.astype(np.float32)
 
 
