@@ -97,7 +97,7 @@ class Config:
     # reference's hash_cnt is data-dependent (reference
     # nets/generate_data.py:139); TPU needs padded static shapes.
     lattice_capacity: List[int] = dataclasses.field(
-        default_factory=lambda: [131072, 65536, 32768, 12288, 4096]
+        default_factory=lambda: [98304, 49152, 24576, 8192, 2048]
     )
     # dtype for conv trunks: "float32" (parity) or "bfloat16" (fast)
     compute_dtype: str = "bfloat16"

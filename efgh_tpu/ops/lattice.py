@@ -318,14 +318,17 @@ def build_lattice_scale(
         offs = filter_offsets(radius, d0)
         deltas = _pack_offset_deltas(offs)  # static int64 (F,)
         f = offs.shape[0]
-        # queries: every cell key shifted by every offset delta (exact uint32
-        # arithmetic: fields have >= 200 units of margin, offsets are <= d1)
+        zero_row = int(np.nonzero(deltas == 0)[0][0])  # identity offset
+        nz = [i for i in range(f) if i != zero_row]
+        fq = len(nz)
+        # queries: every cell key shifted by every nonzero offset delta (exact
+        # uint32 arithmetic: fields have >= 200 units of margin, offsets <= d1)
         q = cell_key[None, :] + jnp.asarray(
-            deltas.astype(np.int64) % (1 << 32), np.uint32
-        )[:, None]  # (F, H)
-        all_key = jnp.concatenate([cell_key, q.reshape(f * capacity)])
+            deltas[nz].astype(np.int64) % (1 << 32), np.uint32
+        )[:, None]  # (Fq, H)
+        all_key = jnp.concatenate([cell_key, q.reshape(fq * capacity)])
         all_id = jnp.concatenate([
-            slot_ids, capacity + jnp.arange(f * capacity, dtype=jnp.int32)
+            slot_ids, capacity + jnp.arange(fq * capacity, dtype=jnp.int32)
         ])
         sk, sid = jax.lax.sort((all_key, all_id), num_keys=2)  # cells first on ties
         is_cell = sid < capacity
@@ -345,11 +348,14 @@ def build_lattice_scale(
             (~is_cell) & (f_id >= 0) & (f_key == sk) & (f_id < num_cells)
         )
         neighbor = jnp.where(found, f_id, -1)
-        out_idx = jnp.where(~is_cell, sid - capacity, f * capacity)
-        blur_flat = jnp.full((f * capacity,), -1, jnp.int32).at[out_idx].set(
+        out_idx = jnp.where(~is_cell, sid - capacity, fq * capacity)
+        blur_flat = jnp.full((fq * capacity,), -1, jnp.int32).at[out_idx].set(
             neighbor, mode="drop"
         )
-        blur_neighbors = blur_flat.reshape(f, capacity)
+        nb_rows = list(blur_flat.reshape(fq, capacity))
+        identity_row = jnp.where(in_use, slot_ids, -1)
+        nb_rows.insert(zero_row, identity_row)
+        blur_neighbors = jnp.stack(nb_rows)
         blur_neighbors = jnp.where(in_use[None, :], blur_neighbors, -1)
     else:
         blur_neighbors = jnp.full((1, capacity), -1, jnp.int32)
