@@ -53,8 +53,14 @@ def make_train_step(model, criterion: EFGHCriterion,
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+_PANEL_PRED_KEYS = ("e_l", "f_l", "g_l", "h_c", "eh_cam_T_velo",
+                    "efh_cam_T_velo", "efgh_cam_T_velo", "f_score",
+                    "g_depth", "g_mask")
+_PANEL_GT_KEYS = ("e_l", "f_l", "g_l", "h_c", "f_score", "g_depth", "g_mask")
+
+
 def make_eval_step(model, criterion: Optional[EFGHCriterion] = None,
-                   with_loss: bool = True):
+                   with_loss: bool = True, with_panels: bool = False):
     def eval_step(state: TrainState, batch):
         pred = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -67,8 +73,13 @@ def make_eval_step(model, criterion: Optional[EFGHCriterion] = None,
             losses, gt = criterion.compute_loss(batch["pc"], batch["gts"], pred)
             out["losses"] = losses
             out["gt_s2s1"] = gt["sensor2_T_sensor1"]
+            if with_panels:
+                out["panel_pred"] = {k: pred[k] for k in _PANEL_PRED_KEYS}
+                out["panel_gt"] = {k: gt[k] for k in _PANEL_GT_KEYS}
         elif "gts" in batch and "sensor2_T_sensor1" in batch["gts"]:
             out["gt_s2s1"] = batch["gts"]["sensor2_T_sensor1"]
+            if with_panels:
+                out["panel_pred"] = {k: pred[k] for k in _PANEL_PRED_KEYS}
         return out
 
     return jax.jit(eval_step)
@@ -82,20 +93,50 @@ def _device_batch(batch, mesh):
 
 def validate(pipeline, state, eval_step, mesh, dataset_name: str,
              loss_names) -> Dict:
-    """No-grad pass accumulating losses + errors (reference valid.py:13-68)."""
+    """No-grad pass accumulating losses + errors (reference valid.py:13-68).
+    Keeps the last batch/output pair for image-panel summaries (the reference
+    logs panels from the last val batch, reference valid.py:56)."""
     lss = Lss(loss_names)
     err = Err(dataset_name)
+    last = (None, None)
     for batch in pipeline:
         out = eval_step(state, _device_batch(batch, mesh))
         bsz = batch["pc"].shape[0]
         lss.update({k: float(v) for k, v in out["losses"].items()}, bsz)
         err.update_batch(np.asarray(out["gt_s2s1"]),
                          np.asarray(out["pred_s2s1"]))
-    return {"loss": lss.dict, "err": err.dict}
+        last = (batch, out)
+    return {"loss": lss.dict, "err": err.dict, "last": last}
+
+
+def summarize_panels(summary, mode: str, it: int, batch, out, cfg: Config):
+    """Render and log the tensorboard image panels
+    (reference common/helper.py:11-26 -> common/numpy_utils.py:8-179)."""
+    if "panel_pred" not in out:
+        return
+    try:
+        from efgh_tpu.utils.viz import image_draw
+    except ImportError:
+        return
+    pred = {k: np.asarray(v) for k, v in out["panel_pred"].items()}
+    gt = {k: np.asarray(v) for k, v in out.get("panel_gt", {}).items()}
+    gt.update({k: np.asarray(v) for k, v in batch["gts"].items()})
+    panels = image_draw(batch["pc"], batch["img"], batch["calib"], batch["A"],
+                        gt, pred, cfg.raw_cam_img_size, cfg.lidar_fov_rad)
+    for k, img in panels.items():
+        arr = img if img.ndim == 2 else np.transpose(img, (2, 0, 1))
+        summary.add_image(f"{mode}_image/{k}", arr, it)
 
 
 def train(cfg: Config, model, train_ds, val_ds, summary=None):
     """Main training driver (reference main.py:178-209 + iterater.py)."""
+    from efgh_tpu.utils.preflight import check as preflight_check
+
+    report = preflight_check(cfg)
+    for w in report.warnings:
+        print(f"[preflight][w] {w}")
+    report.raise_on_error()
+
     mesh = create_mesh(cfg.mesh_data)
     criterion = EFGHCriterion(cfg)
     tx = create_optimizer(cfg)
@@ -109,6 +150,10 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
     state = replicate(state, mesh)
     start_meta = {"min_val_loss": float("inf"), "best_val_iter": -1}
 
+    if cfg.pretrained_path:
+        state = load_pretrained(str(cfg.pretrained_path), state, cfg)
+        print(f"=> loaded pretrained weights from {cfg.pretrained_path}")
+
     if cfg.resume_path:
         state, meta = restore_checkpoint(str(cfg.resume_path), state)
         state = replicate(state, mesh)
@@ -116,11 +161,19 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
             start_meta.update(meta)
         print(f"=> resumed from {cfg.resume_path} at iter {int(state.step)}")
 
+    trace_dir = cfg.get("trace_dir")
+    tracer = None
+    if trace_dir:
+        from efgh_tpu.utils.profiling import TraceWindow
+
+        tracer = TraceWindow(str(trace_dir), start=int(cfg.get("trace_start", 10)))
+
     from efgh_tpu.train.state import param_count
     print(f"=> total model parameters: {param_count(state.params)/1e6:.2f}M")
 
     train_step = make_train_step(model, criterion, tx)
-    eval_step = make_eval_step(model, criterion)
+    eval_step = make_eval_step(model, criterion,
+                               with_panels=summary is not None)
 
     lss = Lss(criterion.loss_name)
     err = Err(cfg.dataset)
@@ -132,6 +185,8 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
             it = int(state.step)
             if it >= max_iter:
                 break
+            if tracer is not None:
+                tracer.step(it)
             state, out = train_step(state, _device_batch(batch, mesh))
             bsz = batch["pc"].shape[0]
             lss.update({k: float(v) for k, v in out["losses"].items()}, bsz)
@@ -152,6 +207,9 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
                                criterion.loss_name)
                 if summary is not None:
                     _summarize_val(summary, it, val)
+                    vb, vo = val["last"]
+                    if vb is not None:
+                        summarize_panels(summary, "valid", it, vb, vo, cfg)
                 val_total = val["loss"]["total"].avg
                 is_best = val_total < start_meta["min_val_loss"]
                 if is_best:
@@ -165,9 +223,34 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
                 lss.flush()
                 err.flush()
 
+    if tracer is not None:
+        tracer.close()
     save_checkpoint(state, cfg.ckpt_dir, False, cfg.iter_iterval,
                     meta=start_meta)
     return state
+
+
+def load_pretrained(path: str, state: TrainState, cfg: Config) -> TrainState:
+    """Load pretrained weights: a reference torch .pth.tar (converted with
+    the `convert_dict` key remap, reference main.py:162-176,212-225) or an
+    orbax checkpoint directory."""
+    import dataclasses as _dc
+    import os as _os
+
+    if path.endswith((".pth", ".pth.tar", ".pt")):
+        from efgh_tpu.train.convert import (
+            convert_torch_state_dict,
+            load_torch_checkpoint,
+        )
+
+        sd = load_torch_checkpoint(path)
+        params, batch_stats = convert_torch_state_dict(
+            sd, num_bcn=len(cfg.scale_map), convert_dict=cfg.convert_dict
+        )
+        return _dc.replace(state, params=params, batch_stats=batch_stats)
+    loaded, _ = restore_checkpoint(path, state)
+    return _dc.replace(state, params=loaded.params,
+                       batch_stats=loaded.batch_stats)
 
 
 def test(cfg: Config, model, test_ds, state=None):

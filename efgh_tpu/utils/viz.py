@@ -69,6 +69,7 @@ def minmax_color_img(img, cmap=None, px=2, valid_mask=False):
     """Normalize, splat-dilate by px, colorize (vectorized version of
     reference common/numpy_utils.py:377-400)."""
     cmap = cmap or _cmap()
+    img = np.asarray(img, dtype=np.float64)
     rng = np.max(img) - np.min(img)
     img = (img - np.min(img)) / (rng if rng > 0 else 1.0)
     dil = maximum_filter(img, size=2 * px + 1) if px > 0 else img

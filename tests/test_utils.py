@@ -1,0 +1,93 @@
+"""Viz panels, preflight checks, profiling helpers."""
+
+import numpy as np
+import pytest
+
+from efgh_tpu.config import Config
+from efgh_tpu.utils.preflight import check as preflight_check
+from efgh_tpu.utils.profiling import StepTimer, device_memory_stats
+from efgh_tpu.utils.viz import eval_image_draw, image_draw, minmax_color_img
+
+RAW = (64, 128)
+
+
+def _fake_batch_and_dicts(rng):
+    n = 256
+    pc = rng.randn(1, 3, n).astype(np.float32) * 10
+    img = rng.randint(0, 255, (1, 3, RAW[0] // 2, RAW[1] // 2)).astype(np.float32)
+    calib = np.array([[[100.0, 0, 64, 0], [0, 100.0, 32, 0], [0, 0, 1, 0]]],
+                     np.float32)
+    a_mat = np.array([[[1, 0, -64.0], [0, 1, -32.0], [0, 0, 1]]], np.float32)
+    eye4 = np.eye(4, dtype=np.float32)[None]
+    eye3 = np.eye(3, dtype=np.float32)[None]
+    width = 117
+    common = {
+        "e_l": eye4, "f_l": eye4, "g_l": eye4, "h_c": eye3,
+        "f_score": rng.rand(1, width).astype(np.float32),
+        "g_depth": rng.rand(1, 1, *RAW).astype(np.float32),
+        "g_mask": rng.rand(1, 2, *RAW).astype(np.float32),
+    }
+    gt = dict(common)
+    gt["g_mask"] = gt["g_depth"] > 0.5
+    gt["img_rot"] = rng.randint(0, 255, (1, 3, RAW[0], RAW[1])).astype("uint8")
+    gt["img_raw"] = gt["img_rot"]
+    pred = dict(common)
+    pred.update({
+        "eh_cam_T_velo": calib, "efh_cam_T_velo": calib,
+        "efgh_cam_T_velo": calib,
+    })
+    return pc, img, calib, a_mat, gt, pred
+
+
+def test_image_draw_panels(rng):
+    pc, img, calib, a_mat, gt, pred = _fake_batch_and_dicts(rng)
+    panels = image_draw(pc, img, calib, a_mat, gt, pred, RAW, (0.125, -0.125))
+    for k in ["cam", "score", "dimage", "mask", "range", "depth"]:
+        assert k in panels, k
+        assert panels[k].dtype == np.uint8
+        assert panels[k].ndim == 3 and panels[k].shape[2] == 3
+    # the range strip stacks 5 rows of half-height panels
+    assert panels["range"].shape[0] == 5 * (RAW[0] // 2)
+
+
+def test_eval_image_draw_panels(rng):
+    pc, img, calib, a_mat, gt, pred = _fake_batch_and_dicts(rng)
+    panels = eval_image_draw(pc, img, calib, a_mat, gt, pred, RAW,
+                             (0.125, -0.125))
+    for k in ["pred_depth_EH", "pred_depth_EFH", "pred_depth_EFGH"]:
+        assert panels[k].shape == (RAW[0] // 2, RAW[1] // 2, 3)
+
+
+def test_minmax_color_img(rng):
+    img = np.zeros((32, 48))
+    img[10, 20] = 5.0
+    colored, mask = minmax_color_img(img, px=2, valid_mask=True)
+    assert colored.shape == (32, 48, 3)
+    assert mask[10, 20] and mask[12, 22] and not mask[0, 0]
+
+
+def test_preflight_ok():
+    cfg = Config.from_dict({"batch_size": 1, "mesh_data": 1})
+    report = preflight_check(cfg)
+    assert report.ok
+    assert report.est_activation_bytes > 0
+
+
+def test_preflight_bad_batch():
+    cfg = Config.from_dict({"batch_size": 3, "mesh_data": 2})
+    report = preflight_check(cfg)
+    assert not report.ok
+    with pytest.raises(RuntimeError):
+        report.raise_on_error()
+
+
+def test_step_timer():
+    t = StepTimer(window=2)
+    t.tick()
+    t.tick()
+    assert t.steps_per_sec > 0
+
+
+def test_device_memory_stats_shape():
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
