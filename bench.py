@@ -19,7 +19,7 @@ REFERENCE_CPU_PAIRS_PER_SEC = 0.033788  # benchmarks/reference_cpu.json
 
 
 def main():
-    batch = int(os.environ.get("EFGH_BENCH_BATCH", "1"))
+    batch = int(os.environ.get("EFGH_BENCH_BATCH", "2"))
     iters = int(os.environ.get("EFGH_BENCH_ITERS", "10"))
 
     import jax

@@ -53,13 +53,18 @@ def create_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def create_state(model, cfg: Config, sample_batch, rng) -> TrainState:
-    variables = model.init(
+    # jit the init: an eager linen init dispatches thousands of small device
+    # ops (very slow over remote-device links)
+    init = jax.jit(
+        lambda r, pc, img, calib, A: model.init(r, pc, img, calib, A,
+                                                train=False)
+    )
+    variables = init(
         rng,
         jnp.asarray(sample_batch["pc"]),
         jnp.asarray(sample_batch["img"]),
         jnp.asarray(sample_batch["calib"]),
         jnp.asarray(sample_batch["A"]),
-        train=False,
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
