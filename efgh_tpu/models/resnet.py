@@ -40,39 +40,109 @@ class BasicBlock(nn.Module):
         return nn.relu(out + identity)
 
 
-class ResNetStage(nn.Module):
-    """One resnet `layerN`: two BasicBlocks."""
+class Bottleneck(nn.Module):
+    """Bottleneck residual block (1x1 -> 3x3 -> 1x1, expansion 4) for the
+    deeper variants in the zoo (reference nets/resnet.py)."""
 
     features: int
     stride: int = 1
+    downsample: bool = False
+    expansion: int = 4
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        need_proj = self.stride != 1 or x.shape[-1] != self.features
-        x = BasicBlock(self.features, self.stride, downsample=need_proj)(x, train)
-        x = BasicBlock(self.features, 1, downsample=False)(x, train)
-        return x
+        identity = x
+        out_ch = self.features * self.expansion
+        out = Conv(self.features, (1, 1), (1, 1), (0, 0), use_bias=False,
+                   kernel_init=normal_init(1e-3))(x)
+        out = BatchNorm()(out, train=train)
+        out = nn.relu(out)
+        out = Conv(self.features, (3, 3), (self.stride, self.stride), (1, 1),
+                   use_bias=False, kernel_init=normal_init(1e-3))(out)
+        out = BatchNorm()(out, train=train)
+        out = nn.relu(out)
+        out = Conv(out_ch, (1, 1), (1, 1), (0, 0), use_bias=False,
+                   kernel_init=normal_init(1e-3))(out)
+        out = BatchNorm()(out, train=train)
+        if self.downsample:
+            identity = Conv(out_ch, (1, 1), (self.stride, self.stride),
+                            (0, 0), use_bias=False,
+                            kernel_init=normal_init(1e-3))(x)
+            identity = BatchNorm()(identity, train=train)
+        return nn.relu(out + identity)
 
 
-class ResNet18Trunk(nn.Module):
-    """layer1..layer4 of resnet18 applied back to back (64 -> 512, /8)."""
+class ResNetStage(nn.Module):
+    """One resnet `layerN`: `blocks` residual blocks of the given type."""
+
+    features: int
+    stride: int = 1
+    blocks: int = 2
+    block: str = "basic"  # "basic" | "bottleneck"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = ResNetStage(64, 1, name="layer1")(x, train)
-        x = ResNetStage(128, 2, name="layer2")(x, train)
-        x = ResNetStage(256, 2, name="layer3")(x, train)
-        x = ResNetStage(512, 2, name="layer4")(x, train)
+        if self.block == "basic":
+            out_ch = self.features
+            blk = BasicBlock
+        else:
+            out_ch = self.features * 4
+            blk = Bottleneck
+        need_proj = self.stride != 1 or x.shape[-1] != out_ch
+        x = blk(self.features, self.stride, downsample=need_proj)(x, train)
+        for _ in range(self.blocks - 1):
+            x = blk(self.features, 1, downsample=False)(x, train)
         return x
 
 
-class ResNet18Encoder(nn.Module):
+# layer plans of the torchvision zoo the reference vendors
+# (reference nets/resnet.py): name -> (block, [blocks per layer])
+RESNET_PLANS = {
+    "resnet18": ("basic", [2, 2, 2, 2]),
+    "resnet34": ("basic", [3, 4, 6, 3]),
+    "resnet50": ("bottleneck", [3, 4, 6, 3]),
+    "resnet101": ("bottleneck", [3, 4, 23, 3]),
+    "resnet152": ("bottleneck", [3, 8, 36, 3]),
+}
+
+
+class ResNetTrunk(nn.Module):
+    """layer1..layer4 of a torchvision-style resnet applied back to back."""
+
+    arch: str = "resnet18"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        block, blocks = RESNET_PLANS[self.arch]
+        for i, (feats, stride) in enumerate(
+            zip([64, 128, 256, 512], [1, 2, 2, 2])
+        ):
+            x = ResNetStage(feats, stride, blocks=blocks[i], block=block,
+                            name=f"layer{i + 1}")(x, train)
+        return x
+
+
+class ResNetEncoder(nn.Module):
     """layer1..layer4 with intermediate taps (for the G image U-Net)."""
 
+    arch: str = "resnet18"
+
     @nn.compact
     def __call__(self, x, train: bool = True):
-        c2 = ResNetStage(64, 1, name="layer1")(x, train)
-        c3 = ResNetStage(128, 2, name="layer2")(c2, train)
-        c4 = ResNetStage(256, 2, name="layer3")(c3, train)
-        c5 = ResNetStage(512, 2, name="layer4")(c4, train)
-        return c2, c3, c4, c5
+        block, blocks = RESNET_PLANS[self.arch]
+        taps = []
+        for i, (feats, stride) in enumerate(
+            zip([64, 128, 256, 512], [1, 2, 2, 2])
+        ):
+            x = ResNetStage(feats, stride, blocks=blocks[i], block=block,
+                            name=f"layer{i + 1}")(x, train)
+            taps.append(x)
+        return tuple(taps)
+
+
+class ResNet18Trunk(ResNetTrunk):
+    arch: str = "resnet18"
+
+
+class ResNet18Encoder(ResNetEncoder):
+    arch: str = "resnet18"

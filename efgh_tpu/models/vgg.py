@@ -17,8 +17,16 @@ import jax.numpy as jnp
 from efgh_tpu.models.layers import BatchNorm, Conv, kaiming_normal_fan_out, max_pool_2x2
 
 CFGS = {
+    # reference nets/vgg.py:86-94
     "A": [64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"],
+    "B": [64, 64, "M", 128, 128, "M", 256, 256, "M", 512, 512, "M",
+          512, 512, "M"],
     "C": [64, "M", 128, "M", 256, 256, "M", 512, 512, "M"],
+    "D": [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M",
+          512, 512, 512, "M"],
+    "E": [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+          512, 512, 512, 512, "M", 512, 512, 512, 512, "M"],
+    "F": [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M"],
 }
 
 
@@ -47,9 +55,43 @@ class VGGFeatures(nn.Module):
         return x
 
 
+def vgg11(bn=False):
+    return VGGFeatures(cfg="A", batch_norm=bn)
+
+
 def vgg11_bn() -> VGGFeatures:
     return VGGFeatures(cfg="A", batch_norm=True)
 
 
 def vgg11_bn_modified() -> VGGFeatures:
+    """4-pool variant used by F's twin towers (reference nets/vgg.py:127-134)."""
     return VGGFeatures(cfg="C", batch_norm=True)
+
+
+def vgg13(bn=False):
+    return VGGFeatures(cfg="B", batch_norm=bn)
+
+
+def vgg13_bn():
+    return VGGFeatures(cfg="B", batch_norm=True)
+
+
+def vgg16(bn=False):
+    return VGGFeatures(cfg="D", batch_norm=bn)
+
+
+def vgg16_bn():
+    return VGGFeatures(cfg="D", batch_norm=True)
+
+
+def vgg16_bn_modified():
+    """4-pool VGG16 variant (reference nets/vgg.py:196-203)."""
+    return VGGFeatures(cfg="F", batch_norm=True)
+
+
+def vgg19(bn=False):
+    return VGGFeatures(cfg="E", batch_norm=bn)
+
+
+def vgg19_bn():
+    return VGGFeatures(cfg="E", batch_norm=True)
