@@ -37,11 +37,17 @@ Arrays = Dict[str, jnp.ndarray]
 
 
 def bce(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """Elementwise binary cross-entropy on probabilities, torch-clamped
-    (log terms clipped at -100 like torch.nn.BCELoss)."""
-    logp = jnp.clip(jnp.log(jnp.clip(pred, 1e-44)), -100.0)
-    log1mp = jnp.clip(jnp.log(jnp.clip(1.0 - pred, 1e-44)), -100.0)
-    return -(target * logp + (1.0 - target) * log1mp)
+    """Elementwise binary cross-entropy on probabilities.
+
+    Probabilities are clamped to [1e-12, 1-1e-12] so both the value and the
+    gradient stay finite when a sigmoid saturates to exactly 0/1 (torch's
+    BCELoss clamps the log at -100 and its grad internally; an f32
+    1/p at p<1e-38 overflows to inf and poisons the backward pass).
+    """
+    # 1e-7 is the largest epsilon with 1-eps representable in float32
+    # (1 - 1e-12 rounds back to exactly 1.0 -> log(0) = -inf)
+    p = jnp.clip(pred, 1e-7, 1.0 - 1e-7)
+    return -(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
 
 
 def smooth_l1(a: jnp.ndarray, b: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
@@ -181,10 +187,12 @@ class EFGHCriterion:
         num_neg = jnp.clip(self.fov_neg_ratio * num_pos, max=pos.shape[1] - 1)
         neg = rank < num_neg
 
-        weighted = (pos | neg).astype(jnp.float32)
+        weighted = pos | neg
         full_bce = bce(pred["f_score"], gt["f_score"])
-        loss_fov = jnp.sum(full_bce * weighted) / jnp.maximum(
-            jnp.sum(weighted), 1.0
+        # select (not multiply) so an inf at an unselected position can never
+        # produce inf*0 = NaN
+        loss_fov = jnp.sum(jnp.where(weighted, full_bce, 0.0)) / jnp.maximum(
+            jnp.sum(weighted.astype(jnp.float32)), 1.0
         )
         return {"fov": loss_fov * self.lambda_fov}, gt
 

@@ -104,14 +104,22 @@ class Fnet(nn.Module):
 
         h_img = jnp.transpose(ret["h_img"], (0, 2, 3, 1)).astype(self.compute_dtype)
 
+        # feature range-normalization (reference nets/fnet.py:57,64); spans
+        # can legitimately be ~1e-12 at init, so guard exact-zero only (an
+        # additive epsilon would rescale the features; the reference would
+        # divide by zero on a collapsed tower)
+        def _range_norm(x):
+            span = jnp.max(x) - jnp.min(x)
+            return x / jnp.where(span != 0, span, 1.0)
+
         cam = FeatureTower(name="camera_tower")(h_img, train=train)
-        cam_feat = cam / (jnp.max(cam) - jnp.min(cam))
+        cam_feat = _range_norm(cam)
 
         rng = ConvBNRelu(3, (1, 2), (1, 1), (0, 0), name="conv_range")(
             e_range, train=train
         )
         rng = FeatureTower(name="range_tower")(rng, train=train)
-        rng_feat = rng / (jnp.max(rng) - jnp.min(rng))
+        rng_feat = _range_norm(rng)
 
         offset = rng_feat.shape[2] // 8
         rng_pad = circular_assign(rng_feat, offset)  # (B, H, Wp, C)
