@@ -18,7 +18,18 @@ def main(argv=None):
     parser.add_argument("config", help="YAML config path")
     parser.add_argument("--fresh", action="store_true",
                         help="wipe the checkpoint dir before training")
+    parser.add_argument("--distributed", action="store_true",
+                        help="initialize the JAX multi-host runtime (run one "
+                             "process per host; mesh spans all hosts' devices)")
     args = parser.parse_args(argv)
+
+    if args.distributed:
+        import jax
+
+        # multi-host over ICI/DCN: coordinator/process env comes from the
+        # launcher (GKE/TPU-VM metadata); collectives compile through XLA —
+        # no NCCL/MPI analog to configure
+        jax.distributed.initialize()
 
     cfg = Config.from_yaml(args.config)
 

@@ -100,9 +100,9 @@ def validate(pipeline, state, eval_step, mesh, dataset_name: str,
     err = Err(dataset_name)
     last = (None, None)
     for batch in pipeline:
-        out = eval_step(state, _device_batch(batch, mesh))
+        out = jax.device_get(eval_step(state, _device_batch(batch, mesh)))
         bsz = batch["pc"].shape[0]
-        lss.update({k: float(v) for k, v in out["losses"].items()}, bsz)
+        lss.update(out["losses"], bsz)
         err.update_batch(np.asarray(out["gt_s2s1"]),
                          np.asarray(out["pred_s2s1"]))
         last = (batch, out)
@@ -189,7 +189,8 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
                 tracer.step(it)
             state, out = train_step(state, _device_batch(batch, mesh))
             bsz = batch["pc"].shape[0]
-            lss.update({k: float(v) for k, v in out["losses"].items()}, bsz)
+            out = jax.device_get(out)  # one transfer for all step metrics
+            lss.update(out["losses"], bsz)
             err.update_batch(np.asarray(out["gt_s2s1"]),
                              np.asarray(out["pred_s2s1"]))
 
