@@ -326,3 +326,37 @@ def transform_from_rot_trans(r: np.ndarray, t: np.ndarray) -> np.ndarray:
     out[:3, :3] = r.reshape(3, 3)
     out[:3, 3] = t.reshape(3)
     return out
+
+
+def load_oxts_packets_and_poses(oxts_files: Sequence[str]):
+    """KITTI-raw OXTS (GPS/IMU) packets -> IMU poses via the Mercator
+    projection (pykitti-style helper vendored by the reference,
+    reference data_loader/pykitti_utils.py:93-165; unused on its main path
+    but part of the public loader API).
+
+    Returns a list of (values, pose 4x4) with poses relative to the first
+    frame's Mercator origin.
+    """
+    earth_radius = 6378137.0
+    scale = None
+    origin = None
+    out = []
+    for path in oxts_files:
+        with open(path) as f:
+            for line in f.readlines():
+                vals = [float(x) for x in line.split()]
+                lat, lon, alt = vals[0], vals[1], vals[2]
+                roll, pitch, yaw = vals[3], vals[4], vals[5]
+                if scale is None:
+                    scale = math.cos(lat * math.pi / 180.0)
+                mx = scale * lon * math.pi * earth_radius / 180.0
+                my = scale * earth_radius * math.log(
+                    math.tan((90.0 + lat) * math.pi / 360.0)
+                )
+                t = np.array([mx, my, alt])
+                r = rpy_to_matrix_np(roll, pitch, yaw)[:3, :3]
+                if origin is None:
+                    origin = t
+                pose = transform_from_rot_trans(r, t - origin)
+                out.append((vals, pose))
+    return out

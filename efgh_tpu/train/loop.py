@@ -258,7 +258,8 @@ def test(cfg: Config, model, test_ds, state=None):
     """Deterministic evaluation writing the per-sample pred CSV
     (reference test.py:13-85)."""
     mesh = create_mesh(cfg.mesh_data)
-    eval_step = make_eval_step(model, criterion=None, with_loss=False)
+    eval_step = make_eval_step(model, criterion=None, with_loss=False,
+                               with_panels=bool(cfg.save_image))
 
     pipe = _pipeline(cfg, test_ds, shuffle=False, drop_last=False)
     if state is None:
@@ -307,6 +308,21 @@ def test(cfg: Config, model, test_ds, state=None):
                 else:
                     row = pred[b, :3, :].flatten()
                 f.write(fname + "," + ",".join(str(x) for x in row) + ",\n")
+
+            if cfg.save_image and "panel_pred" in out:
+                # per-sample PNG dumps (reference test.py:56-61; the
+                # reference's missing-px crash is fixed in eval_image_draw)
+                from efgh_tpu.utils.viz import eval_image_draw, save_image
+
+                panels = eval_image_draw(
+                    batch["pc"], batch["img"], batch["calib"], batch["A"],
+                    batch["gts"],
+                    {k: np.asarray(v) for k, v in out["panel_pred"].items()},
+                    cfg.raw_cam_img_size, cfg.lidar_fov_rad,
+                )
+                base = batch["fnames"][0].replace("/", "_")
+                for k, im in panels.items():
+                    save_image(im, os.path.join(save_dir, f"{base}_{k}.png"))
     print("Error; ", " ".join(f"{k} {v:.4f}" for k, v in err.dict.items()))
     print("[i] Test finished.")
     return err.dict

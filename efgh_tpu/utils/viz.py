@@ -104,6 +104,33 @@ def save_image(img, fname):
     Image.fromarray(img).save(fname)
 
 
+def draw_registration_result(source, target):
+    """Interactive open3d viewer for a pair of clouds (debug aid; reference
+    common/numpy_utils.py:579-594).  Requires open3d at call time."""
+    import open3d as o3d  # optional; not in the production env
+
+    def _cloud(pts, color):
+        pc = o3d.geometry.PointCloud()
+        pc.points = o3d.utility.Vector3dVector(np.transpose(pts))
+        pc.paint_uniform_color(color)
+        return pc
+
+    o3d.visualization.draw_geometries(
+        [_cloud(source, [1.0, 0.706, 0.0]), _cloud(target, [0.0, 0.651, 0.929])]
+    )
+
+
+def draw_single_registration_result(source):
+    """Interactive open3d viewer for one cloud (reference
+    common/numpy_utils.py:596-606)."""
+    import open3d as o3d
+
+    pc = o3d.geometry.PointCloud()
+    pc.points = o3d.utility.Vector3dVector(np.transpose(source))
+    pc.paint_uniform_color([1.0, 0.706, 0.0])
+    o3d.visualization.draw_geometries([pc])
+
+
 def _depth_panel(pc, mat, cam_rot, raw, cmap, px=2):
     d = depth_img_np(pc, mat, raw)
     colored, valid = minmax_color_img(d, cmap=cmap, px=px, valid_mask=True)
