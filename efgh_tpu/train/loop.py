@@ -137,6 +137,14 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
         print(f"[preflight][w] {w}")
     report.raise_on_error()
 
+    # seed host-side sampling (pair choice, decalibration draws, subsampling)
+    # — the analog of the reference's DataLoader worker_init_fn reseed
+    # (reference main.py:85-92)
+    import random as _random
+
+    _random.seed(cfg.seed)
+    np.random.seed(cfg.seed)
+
     mesh = create_mesh(cfg.mesh_data)
     criterion = EFGHCriterion(cfg)
     tx = create_optimizer(cfg)

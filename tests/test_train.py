@@ -122,3 +122,40 @@ def test_checkpoint_roundtrip(tmp_path, setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # best copy exists
     assert (tmp_path / "ck" / "model_best").exists()
+
+
+def test_grad_false_keys_freeze():
+    """Param subtrees named in grad_false_keys stay untouched by updates
+    (reference main.py:226-235)."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    from efgh_tpu.train.state import create_optimizer
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(4, name="frozen_layer")(x)
+            return nn.Dense(2, name="train_layer")(x)
+
+    cfg = _cfg(grad_false_keys=["frozen_layer"])
+    model = Toy()
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 3)))["params"]
+    tx = create_optimizer(cfg)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        return jnp.sum(model.apply({"params": p}, jnp.ones((1, 3))) ** 2)
+
+    grads = jax.grad(loss_fn)(params)
+    updates, _ = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(
+        np.asarray(new_params["frozen_layer"]["kernel"]),
+        np.asarray(params["frozen_layer"]["kernel"]),
+    )
+    assert not np.allclose(
+        np.asarray(new_params["train_layer"]["kernel"]),
+        np.asarray(params["train_layer"]["kernel"]),
+    )
