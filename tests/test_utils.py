@@ -91,3 +91,18 @@ def test_step_timer():
 def test_device_memory_stats_shape():
     stats = device_memory_stats()
     assert isinstance(stats, dict)
+
+
+def test_shape_check_abstract():
+    from efgh_tpu.utils.summary import shape_check
+
+    cfg = Config.from_dict({
+        "raw_cam_img_size": [64, 128], "num_points": 256,
+        "lattice_capacity": [1024, 1024, 512, 256, 128],
+        "compute_dtype": "float32",
+    })
+    shapes = shape_check(cfg)
+    assert shapes["cam_T_velo"] == (1, 3, 4)
+    assert shapes["sensor2_T_sensor1"] == (1, 4, 4)
+    assert shapes["g_depth"] == (1, 1, 64, 128)
+    assert shapes["f_score"][0] == 1
