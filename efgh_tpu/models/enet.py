@@ -24,7 +24,11 @@ from efgh_tpu.geometry import (
     rotation_matrix_between_vectors_batched,
 )
 from efgh_tpu.models.bcl import BilateralConvFlex
-from efgh_tpu.models.layers import BatchNorm, DenseTorch, PointwiseConvRelu
+from efgh_tpu.models.layers import (
+    DenseTorch,
+    MaskedBatchNorm,
+    PointwiseConvRelu,
+)
 from efgh_tpu.ops.lattice import LatticeScale, build_lattice_pyramid, filter_size
 
 
@@ -95,11 +99,13 @@ class Enet(nn.Module):
 
         final_lat = _index_pyramid(pyramid, len(self.capacities) - 1)
 
-        # PointNet head (reference nets/enet.py:85-97,150-164)
+        # PointNet head (reference nets/enet.py:85-97,150-164); BN statistics
+        # cover only real lattice cells (the reference's population)
         h = jnp.swapaxes(feats, 1, 2)  # (B, H, 256)
         for i, w in enumerate([128, 128, 128]):
             h = DenseTorch(w, name=f"conv_gn_{i + 1}")(h)
-            h = BatchNorm(name=f"bn_gn_{i + 1}")(h, train=train)
+            h = MaskedBatchNorm(name=f"bn_gn_{i + 1}")(
+                h, mask=final_lat.cell_valid, train=train)
             h = nn.relu(h)
         # masked global max-pool over lattice cells
         neg = jnp.finfo(h.dtype).min

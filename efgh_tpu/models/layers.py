@@ -151,6 +151,53 @@ class BatchNorm(nn.Module):
         )(x)
 
 
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over (B, P, C) whose batch statistics cover only positions
+    with mask True.
+
+    The reference normalizes over the *actual* (data-dependent) lattice cell
+    count (BatchNorm1d over (B, C, hash_cnt), reference nets/enet.py:89-91);
+    with static capacity padding the plain BN would fold phantom slots into
+    the statistics.  Running stats update with the biased masked variance
+    (flax convention; torch's running_var is unbiased — sub-0.1% at these
+    population sizes).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = True):
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+
+        if train:
+            xf = x.astype(jnp.float32)
+            if mask is None:
+                mean = jnp.mean(xf, axis=(0, 1))
+                var = jnp.var(xf, axis=(0, 1))
+            else:
+                m = mask.astype(jnp.float32)[..., None]
+                cnt = jnp.maximum(jnp.sum(m), 1.0)
+                mean = jnp.sum(xf * m, axis=(0, 1)) / cnt
+                var = jnp.sum(((xf - mean) ** 2) * m, axis=(0, 1)) / cnt
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
+
+
 def leaky_relu(x, negative_slope=LEAKY_RATE):
     return nn.leaky_relu(x, negative_slope=negative_slope)
 

@@ -180,7 +180,9 @@ def convert_torch_state_dict(
             f"E.bcn{k}.blur_conv.2.bias"]
     for i in (1, 2, 3):
         _dense(dst, sd, f"E.conv_gn_{i}", f"E/conv_gn_{i}/Dense_0", conv1d=True)
-        _bn(dst, sd, f"E.bn_gn_{i}", f"E/bn_gn_{i}/BatchNorm_0")
+        # E head uses MaskedBatchNorm (stats over real cells only); its
+        # scale/bias/mean/var live directly under the module name
+        _bn(dst, sd, f"E.bn_gn_{i}", f"E/bn_gn_{i}")
         _dense(dst, sd, f"E.lin_gn_{i}", f"E/lin_gn_{i}/Dense_0")
     _dense(dst, sd, "E.lin_gn_abs", "E/lin_gn_abs/Dense_0")
     _dense(dst, sd, "E.lin_gn_sgn", "E/lin_gn_sgn/Dense_0")
