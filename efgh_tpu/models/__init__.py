@@ -4,7 +4,13 @@ from efgh_tpu.models.enet import Enet
 from efgh_tpu.models.fnet import Fnet
 from efgh_tpu.models.gnet import Gnet
 from efgh_tpu.models.hnet import Hnet
-from efgh_tpu.models.resnet import ResNet18Encoder, ResNet18Trunk
+from efgh_tpu.models.resnet import (
+    RESNET_PLANS,
+    ResNet18Encoder,
+    ResNet18Trunk,
+    ResNetEncoder,
+    ResNetTrunk,
+)
 from efgh_tpu.models.vgg import VGGFeatures, vgg11_bn, vgg11_bn_modified
 
 # model registry, mirroring the reference's reflection-based construction

@@ -62,13 +62,14 @@ class Conv(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = None  # type: ignore[assignment]
     dtype: Optional[jnp.dtype] = None
+    groups: int = 1  # torch Conv2d groups (reference nets/resnet.py:22-25)
 
     @nn.compact
     def __call__(self, x):
         k = _pair(self.kernel_size)
         s = _pair(self.stride)
         p = _pair(self.padding)
-        cin = x.shape[-1]
+        cin = x.shape[-1] // self.groups
         kinit = self.kernel_init or torch_default_kernel_init()
         fan_in = cin * k[0] * k[1]
         binit = torch_default_bias_init(fan_in)
@@ -81,6 +82,7 @@ class Conv(nn.Module):
             kernel_init=kinit,
             bias_init=binit if self.kernel_init is None else nn.initializers.zeros,
             dtype=self.dtype,
+            feature_group_count=self.groups,
         )(x)
 
 
