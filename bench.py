@@ -8,19 +8,35 @@ host's CPU at 0.033788 pairs/sec (29.6 s/pair, 65536 points, 450x800 image,
 lattice build *excluded* from its timed loop — charitable to the reference;
 see benchmarks/measure_reference_cpu.py and benchmarks/reference_cpu.json).
 vs_baseline is the speedup over that reference; the BASELINE.md target is 10.
+
+Timing discipline (CLAUDE.md): the remote backend can return implausibly fast
+times for repeated calls on identical buffers, so we pre-stage several
+DISTINCT device-resident batches and cycle through them.
+
+Modes (env):
+  EFGH_BENCH_MODE=infer (default) — jitted forward pass, pairs/s.
+  EFGH_BENCH_MODE=train           — full train step (fwd+loss+bwd+Adam),
+                                    pairs/s; reported vs the same reference
+                                    inference baseline (conservative: the
+                                    reference never published a train rate).
+  EFGH_BENCH_BATCH / EFGH_BENCH_ITERS / EFGH_BENCH_VARIANTS tune shape/loop.
 """
 
 import json
 import os
-import sys
 import time
 
 REFERENCE_CPU_PAIRS_PER_SEC = 0.033788  # benchmarks/reference_cpu.json
 
 
 def main():
-    batch = int(os.environ.get("EFGH_BENCH_BATCH", "2"))
-    iters = int(os.environ.get("EFGH_BENCH_ITERS", "10"))
+    mode = os.environ.get("EFGH_BENCH_MODE", "infer")
+    # train at production shapes OOMs HBM at batch 2 (G U-Net activations in
+    # the backward pass); batch 1 fits. docs/PERFORMANCE.md tracks this.
+    default_batch = "1" if mode == "train" else "2"
+    batch = int(os.environ.get("EFGH_BENCH_BATCH", default_batch))
+    iters = int(os.environ.get("EFGH_BENCH_ITERS", "12"))
+    n_variants = int(os.environ.get("EFGH_BENCH_VARIANTS", "4"))
 
     import jax
 
@@ -36,30 +52,59 @@ def main():
         "compute_dtype": "bfloat16",
     })
     model = build_model(cfg)
-    b = _make_batch(cfg, batch)
     # device-resident inputs: the bench measures chip throughput; the input
     # pipeline overlaps transfers in training/serving (and this host's
-    # tunnel link is far slower than any production interconnect)
-    args = tuple(jax.device_put(b[k]) for k in ("pc", "img", "calib", "A"))
+    # tunnel link is far slower than any production interconnect).
+    # n_variants DISTINCT batches, cycled, per the timing-discipline rule.
+    keys = ("pc", "img", "calib", "A")
+    variants = []
+    for seed in range(n_variants):
+        b = _make_batch(cfg, batch, seed=seed)
+        variants.append(tuple(jax.device_put(b[k]) for k in keys))
 
     init = jax.jit(lambda rng, pc, img, calib, A: model.init(
         rng, pc, img, calib, A, train=False))
-    variables = init(jax.random.PRNGKey(0), *args)
+    variables = init(jax.random.PRNGKey(0), *variants[0])
 
-    fwd = jax.jit(lambda v, pc, img, calib, A: model.apply(
-        v, pc, img, calib, A, train=False)["cam_T_velo"])
+    if mode == "train":
+        from efgh_tpu.losses import EFGHCriterion
+        from efgh_tpu.train import create_optimizer, create_state, \
+            make_train_step
 
-    # compile + warmup
-    out = jax.block_until_ready(fwd(variables, *args))
-    t0 = time.time()
-    for _ in range(iters):
-        out = fwd(variables, *args)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+        tgt = _make_batch(cfg, batch, seed=0)
+        state = create_state(model, cfg, tgt, jax.random.PRNGKey(0))
+        criterion = EFGHCriterion(cfg)
+        step = make_train_step(model, criterion, create_optimizer(cfg))
+        batches = []
+        for seed in range(n_variants):
+            full = _make_batch(cfg, batch, seed=seed)
+            db = {k: full[k] for k in keys}
+            db["gts"] = full["gts"]
+            batches.append(jax.device_put(db))
+        # compile + warmup (donated buffers: step returns a fresh state)
+        state, out = step(state, batches[0])
+        jax.block_until_ready(out["losses"]["total"])
+        t0 = time.time()
+        for i in range(iters):
+            state, out = step(state, batches[(i + 1) % n_variants])
+        jax.block_until_ready(out["losses"]["total"])
+        dt = (time.time() - t0) / iters
+        metric = "rellis_train_pairs_per_sec_per_chip"
+    else:
+        fwd = jax.jit(lambda v, pc, img, calib, A: model.apply(
+            v, pc, img, calib, A, train=False)["cam_T_velo"])
+        # compile + warmup
+        out = jax.block_until_ready(fwd(variables, *variants[0]))
+        t0 = time.time()
+        for i in range(iters):
+            out = fwd(variables, *variants[(i + 1) % n_variants])
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / iters
+        metric = "rellis_pairs_per_sec_per_chip"
+
     pairs_per_sec = batch / dt
-
     print(json.dumps({
-        "metric": "rellis_pairs_per_sec_per_chip",
+        "metric": metric,
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / REFERENCE_CPU_PAIRS_PER_SEC, 1),

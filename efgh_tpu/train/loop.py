@@ -212,6 +212,13 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
             if it % cfg.iter_iterval == 0 and it != 0:
                 if summary is not None:
                     _summarize(summary, "train", it, lss, err)
+                    # the reference logs image panels for the train batch too
+                    # (reference iterater.py:48-51 -> helper.py:11-26); the
+                    # train step doesn't carry panels, so render them from an
+                    # eval-step pass on the current batch
+                    tb = _device_batch(batch, mesh)
+                    tout = jax.device_get(eval_step(state, tb))
+                    summarize_panels(summary, "train", it, batch, tout, cfg)
                 val = validate(val_pipe, state, eval_step, mesh, cfg.dataset,
                                criterion.loss_name)
                 if summary is not None:

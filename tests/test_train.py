@@ -124,6 +124,44 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     assert (tmp_path / "ck" / "model_best").exists()
 
 
+class _RecordingSummary:
+    def __init__(self):
+        self.scalars = {}
+        self.images = {}
+
+    def add_scalar(self, tag, value, it):
+        self.scalars.setdefault(tag, []).append((it, float(value)))
+
+    def add_image(self, tag, img, it):
+        self.images.setdefault(tag, []).append((it, np.asarray(img).shape))
+
+
+def test_train_driver_logs_train_and_valid_panels(tmp_path, setup):
+    """The reference logs image panels for TRAIN batches at summary intervals
+    too (reference iterater.py:48-51), not only from the last val batch."""
+    from efgh_tpu.train.loop import train
+
+    # two lattice scales keep the driver-level compile cheap; the full-depth
+    # model is covered by the other train tests
+    cfg = _cfg(epochs=1, iter_iterval=1, log_every=10,
+               ckpt_dir=str(tmp_path / "ck"),
+               scale_map=[[1.0, 1], [0.5, 1]],
+               lattice_capacity=[1024, 512])
+    model = build_model(cfg)
+    train_ds = SyntheticDataset(num_samples=4, num_points=cfg.num_points,
+                                raw_cam_img_size=RAW)
+    val_ds = SyntheticDataset(num_samples=2, num_points=cfg.num_points,
+                              raw_cam_img_size=RAW, seed=1)
+    summary = _RecordingSummary()
+    train(cfg, model, train_ds, val_ds, summary=summary)
+
+    train_panels = [k for k in summary.images if k.startswith("train_image/")]
+    valid_panels = [k for k in summary.images if k.startswith("valid_image/")]
+    assert train_panels, f"no train panels logged; got {list(summary.images)}"
+    assert valid_panels
+    assert any(k.startswith("train_loss/") for k in summary.scalars)
+
+
 def test_grad_false_keys_freeze():
     """Param subtrees named in grad_false_keys stay untouched by updates
     (reference main.py:226-235)."""
