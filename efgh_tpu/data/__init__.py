@@ -23,10 +23,18 @@ DATASETS["NUSC"] = _nusc
 
 def build_dataset(name: str, mode: str, args):
     if name == "SYNTHETIC":
+        # disjoint frozen splits: synthetic samples are a pure function of
+        # (seed, index), so distinct per-mode seeds = distinct data
+        dclb = args.get("dclb") or {}
         return SyntheticDataset(
             num_samples=(args["train_samples"] if mode == "train"
                          else max(args["val_samples"], 4)),
             num_points=args["num_points"],
             raw_cam_img_size=args["raw_cam_img_size"],
+            seed={"train": 0, "valid": 10_000_019, "test": 20_000_003}.get(
+                mode, 0),
+            l_rot_range=dclb.get("l_rot_range", 1.0 / 6.0),
+            l_trs_range=dclb.get("l_trs_range", 2.0),
+            c_rot_range=dclb.get("c_rot_range", 1.0 / 6.0),
         )
     return DATASETS[name](mode, args)

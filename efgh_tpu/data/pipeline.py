@@ -106,17 +106,27 @@ class DataPipeline:
 
 
 class SyntheticDataset:
-    """Geometrically-consistent synthetic samples (no files needed).
+    """Geometrically-consistent, *learnable* synthetic samples (no files).
 
-    Generates a ground-plane + scatter cloud, a pinhole calib, and a random
-    decalibration through the same `preproc_gt` contract as the real loaders.
-    Used by unit tests, the bench, and the graft entry.
+    A procedural scene — ground plane, vertical walls, pillars — is observed
+    twice: a dense sampling is z-buffer-rendered into the camera image
+    through the pinhole calib, and a sparse independent sampling becomes the
+    lidar cloud.  Both then go through the exact real-loader contract
+    (preproc_gt / preproc_img_rellis / preproc_pcd, reference
+    data_loader/loader_utils.py + rellis3d_loader.py:292-339): the image is
+    rotated by rand_init_c and the cloud decalibrated by rand_init_l.
+    Because image and cloud show the same scene, the registration task is
+    end-to-end learnable — this backs the dataset-free convergence +
+    RRE/RTE proof, the bench, unit tests, and the graft entry.
+
+    Samples are a pure function of (seed, index): a dataset with a different
+    seed is a disjoint, frozen split.
     """
 
     def __init__(self, num_samples: int = 16, num_points: int = 65536,
                  raw_cam_img_size=(900, 1600), seed: int = 0,
                  l_rot_range: float = 1.0 / 6.0, l_trs_range: float = 2.0,
-                 c_rot_range: float = 1.0 / 6.0):
+                 c_rot_range: float = 1.0 / 6.0, cache: bool = True):
         self.num_samples = num_samples
         self.num_points = num_points
         self.raw = tuple(raw_cam_img_size)
@@ -124,55 +134,181 @@ class SyntheticDataset:
         self.l_rot_range = l_rot_range
         self.l_trs_range = l_trs_range
         self.c_rot_range = c_rot_range
+        # samples are deterministic, so multi-epoch runs cache them (~3.5 MB
+        # each at production shapes; this host has one CPU core, so epoch 2+
+        # would otherwise be render-bound)
+        self._cache = {} if cache else None
+        h, w = self.raw
+        # render at the RELLIS native-camera ratio (1200x1920 vs 900x1600,
+        # reference rellis3d_loader.py:318: k_scale) so preproc_img_rellis
+        # sees the same resize/rotate/crop geometry as the real loader
+        self.render_hw = (max(8, int(round(h * 1200 / 900))),
+                          max(8, int(round(w * 1920 / 1600))))
+        self.n_render = int(min(400_000, max(20_000, 2 * h * w)))
 
     def __len__(self):
         return self.num_samples
 
+    # -- scene --------------------------------------------------------------
+
+    @staticmethod
+    def _scene_params(rng):
+        z0 = -1.6
+        nw = rng.randint(8, 15)
+        npil = rng.randint(5, 11)
+        return {
+            "z0": z0,
+            "wall_c": rng.uniform(-38, 38, (nw, 2)),
+            "wall_yaw": rng.uniform(0, 2 * np.pi, nw),
+            "wall_len": rng.uniform(4, 16, nw),
+            "wall_h": rng.uniform(2, 6, nw),
+            "wall_col": rng.uniform(60, 255, (nw, 3)),
+            "pil_c": rng.uniform(-38, 38, (npil, 2)),
+            "pil_r": rng.uniform(0.3, 1.2, npil),
+            "pil_h": rng.uniform(2, 8, npil),
+            "pil_col": rng.uniform(60, 255, (npil, 3)),
+            "ground_col": rng.uniform(90, 170, 3),
+        }
+
+    @staticmethod
+    def _sample_scene(params, n, rng):
+        """Sample n surface points + RGB albedo from the scene."""
+        z0 = params["z0"]
+        n_g = n // 2
+        n_w = int(n * 0.35)
+        n_p = n - n_g - n_w
+
+        gx = rng.uniform(-50, 50, n_g)
+        gy = rng.uniform(-50, 50, n_g)
+        gz = z0 + rng.normal(0, 0.03, n_g)
+        g_pts = np.stack([gx, gy, gz], 1)
+        # checker-ish ground texture so the image has trackable features
+        tex = 0.75 + 0.25 * np.sign(np.sin(0.8 * gx) * np.sin(0.8 * gy))
+        g_col = params["ground_col"][None, :] * tex[:, None]
+
+        nw = len(params["wall_len"])
+        areas = params["wall_len"] * params["wall_h"]
+        wid = rng.choice(nw, size=n_w, p=areas / areas.sum())
+        s = (rng.uniform(-0.5, 0.5, n_w)) * params["wall_len"][wid]
+        zw = z0 + rng.uniform(0, 1, n_w) * params["wall_h"][wid]
+        d = np.stack([np.cos(params["wall_yaw"][wid]),
+                      np.sin(params["wall_yaw"][wid])], 1)
+        w_xy = params["wall_c"][wid] + s[:, None] * d
+        w_pts = np.concatenate([w_xy, zw[:, None]], 1)
+        stripe = 0.7 + 0.3 * np.sign(np.sin(4.0 * s))
+        w_col = params["wall_col"][wid] * stripe[:, None]
+
+        npil = len(params["pil_r"])
+        pid = rng.randint(0, npil, n_p)
+        th = rng.uniform(0, 2 * np.pi, n_p)
+        zp = z0 + rng.uniform(0, 1, n_p) * params["pil_h"][pid]
+        p_xy = params["pil_c"][pid] + params["pil_r"][pid][:, None] * \
+            np.stack([np.cos(th), np.sin(th)], 1)
+        p_pts = np.concatenate([p_xy, zp[:, None]], 1)
+        p_col = params["pil_col"][pid]
+
+        pts = np.concatenate([g_pts, w_pts, p_pts], 0)
+        col = np.concatenate([g_col, w_col, p_col], 0)
+        return pts, col
+
+    @staticmethod
+    def _render(pts, col, calib34, hw):
+        """Z-buffer point-splat render: far-to-near painter with a 2x2
+        splat over a sky/ground gradient background."""
+        h, w = hw
+        uvw = calib34 @ np.concatenate(
+            [pts.T, np.ones((1, len(pts)))], 0)
+        z = uvw[2]
+        keep = z > 0.5
+        u = np.round(uvw[0][keep] / z[keep]).astype(np.int64)
+        v = np.round(uvw[1][keep] / z[keep]).astype(np.int64)
+        zk = z[keep]
+        shade = np.clip(1.0 - 0.006 * zk, 0.3, 1.0)
+        c = (col[keep] * shade[:, None])
+
+        # 2x2 splat
+        du = np.array([0, 1, 0, 1])
+        dv = np.array([0, 0, 1, 1])
+        u4 = (u[:, None] + du[None, :]).ravel()
+        v4 = (v[:, None] + dv[None, :]).ravel()
+        z4 = np.repeat(zk, 4)
+        c4 = np.repeat(c, 4, axis=0)
+        inb = (u4 >= 0) & (u4 < w) & (v4 >= 0) & (v4 < h)
+        u4, v4, z4, c4 = u4[inb], v4[inb], z4[inb], c4[inb]
+        order = np.argsort(-z4, kind="stable")  # far first; near paints last
+
+        grad = np.linspace(0, 1, h)[:, None]
+        sky = np.array([150, 170, 200.0])
+        dirt = np.array([70, 75, 65.0])
+        img = np.broadcast_to(
+            (sky[None] * (1 - grad) + dirt[None] * grad)[:, None, :], (h, w, 3)
+        ).copy()
+        flat = img.reshape(-1, 3)
+        flat[v4[order] * w + u4[order]] = c4[order]
+        return np.clip(img, 1, 255).astype(np.uint8)  # 1: keep mask valid
+
+    # -- sample -------------------------------------------------------------
+
     def __getitem__(self, index):
-        rng = np.random.RandomState(self.seed * 100003 + index)
-        n = self.num_points
-        # ground plane + scattered structure within the 50 m crop
-        n_ground = n // 2
-        ground = np.stack([
-            rng.uniform(-50, 50, n_ground),
-            rng.uniform(-50, 50, n_ground),
-            rng.normal(-1.6, 0.05, n_ground),
-        ], axis=0)
-        scatter = np.stack([
-            rng.uniform(-50, 50, n - n_ground),
-            rng.uniform(-50, 50, n - n_ground),
-            rng.uniform(-1.5, 4.0, n - n_ground),
-        ], axis=0)
-        pc_clean = np.concatenate([ground, scatter], axis=1)  # (3, N)
+        if self._cache is not None and index in self._cache:
+            pc, img_u8, calib, a, gts, fname = self._cache[index]
+            return pc, img_u8.astype(np.float32), calib, a, gts, fname
+
+        from efgh_tpu.data.loader_utils import preproc_img_rellis, preproc_pcd
+
+        rng = np.random.RandomState(
+            (self.seed * 100003 + index) % (2 ** 31 - 1))
+        params = self._scene_params(rng)
 
         h, w = self.raw
-        fx = fy = 0.6 * w
-        k = np.array([[fx, 0, w / 2, 0], [0, fy, h / 2, 0], [0, 0, 1, 0]])
-        # lidar->cam axes swap (x fwd, y left, z up -> cam z fwd, x right, y dn)
+        rh, rw = self.render_hw
+        fx = fy = 0.6 * rw
+        k_render = np.array([[fx, 0, rw / 2, 0], [0, fy, rh / 2, 0],
+                             [0, 0, 1, 0]])
+        # lidar->cam axes swap (x fwd, y left, z up -> cam z fwd/x right/y dn)
         tr = np.array([
             [0, -1, 0, 0],
             [0, 0, -1, 0],
             [1, 0, 0, 0],
             [0, 0, 0, 1],
         ], float)
-        calib = (k @ tr)[:3, :]
+        # model calib is expressed for the raw (h, w) frame: fold in the
+        # render->raw scale exactly like the reference's k_scale
+        k_scale = np.diag([w / rw, h / rh, 1.0])
+        calib = np.concatenate(
+            [k_scale @ k_render[:, :3], np.zeros((3, 1))], 1) @ tr
 
+        # dense view -> camera image (clean scene, lidar frame)
+        d_pts, d_col = self._sample_scene(params, self.n_render, rng)
+        img_full = self._render(d_pts, d_col, k_render @ tr,
+                                (rh, rw))
+
+        # decalibration draw (same contract as ProcessRELLIS)
         rr, rp, ry = rng.uniform(-1, 1, 3) * np.pi * self.l_rot_range
         tx, ty, tz = rng.uniform(-1, 1, 3) * self.l_trs_range
         rt = rng.uniform(-1, 1) * np.pi * self.c_rot_range
         gts = preproc_gt(rr, rp, ry, tx, ty, tz, rt)
 
-        pc_h = np.ones((4, n))
-        pc_h[:3] = pc_clean
-        pc = (gts["rand_init_l"] @ pc_h)[:3]
+        imgs = preproc_img_rellis(img_full, gts, self.raw)
+        img_in = imgs["in"]
+        # img_raw/img_rot host panels are dropped (viz falls back cleanly) to
+        # keep cached samples compact
+        gts["img_mask"] = imgs["img_mask"]
 
-        img = rng.randint(0, 255, (3, h // 2, w // 2)).astype(np.float32)
-        gts["img_mask"] = np.ones((1, h, w), np.uint8)
+        # sparse independent view -> lidar cloud, decalibrated
+        n_src = int(self.num_points * 1.5) + 2048
+        l_pts, _ = self._sample_scene(params, n_src, rng)
+        pc = preproc_pcd(l_pts, gts, self.num_points, lidar_line=None,
+                         rng=rng)
 
         a = np.array([[1, 0, -w / 2], [0, 1, -h / 2], [0, 0, 1]], float)
         gts["cam_T_velo"] = (
             np.linalg.inv(a) @ gts["intrinsic_sensor2"] @ a @ calib
             @ gts["sensor2_T_sensor1"]
         )
-        return (pc.astype(np.float32), img, calib.astype(np.float32),
-                a.astype(np.float32), gts, f"synthetic_{index:06d}")
+        sample = (pc[:3].astype(np.float32), img_in.astype(np.uint8),
+                  calib.astype(np.float32), a.astype(np.float32), gts,
+                  f"synthetic_{index:06d}")
+        if self._cache is not None:
+            self._cache[index] = sample
+        return (sample[0], sample[1].astype(np.float32), *sample[2:])
