@@ -9,9 +9,13 @@ lattice build *excluded* from its timed loop — charitable to the reference;
 see benchmarks/measure_reference_cpu.py and benchmarks/reference_cpu.json).
 vs_baseline is the speedup over that reference; the BASELINE.md target is 10.
 
-Timing discipline (CLAUDE.md): the remote backend can return implausibly fast
-times for repeated calls on identical buffers, so we pre-stage several
-DISTINCT device-resident batches and cycle through them.
+Timing discipline (CLAUDE.md): the remote backend returns CACHED results for
+a repeated (executable, argument-buffers) pair — measured 0.5 ms/call for a
+300 ms forward.  Cycling distinct pre-staged batches is NOT enough (the cycle
+repeats); every timed call must consume the previous call's output so no
+argument tuple ever repeats.  The infer loop threads out[0,0,0]*0 into an
+input (bit-identical values, fresh buffer + true data dependency); the train
+loop is inherently chained through the donated state.
 
 Modes (env):
   EFGH_BENCH_MODE=infer (default) — jitted forward pass, pairs/s.
@@ -97,7 +101,12 @@ def main():
         out = jax.block_until_ready(fwd(variables, *variants[0]))
         t0 = time.time()
         for i in range(iters):
-            out = fwd(variables, *variants[(i + 1) % n_variants])
+            pc, img, calib, a = variants[(i + 1) % n_variants]
+            # chain the previous output into this call's input: same values
+            # (x + y*0), fresh buffer, real data dependency — defeats the
+            # remote backend's per-(executable, buffers) result cache
+            pc = pc + out[0, 0, 0] * 0.0
+            out = fwd(variables, pc, img, calib, a)
         jax.block_until_ready(out)
         dt = (time.time() - t0) / iters
         metric = "rellis_pairs_per_sec_per_chip"

@@ -107,6 +107,9 @@ class Config:
     log_every: int = 50
     # depth/range scatter winner rule: "near" (min depth, physical) or "far"
     projection_mode: str = "near"
+    # lattice neighbor-table merge backend: "auto" (Pallas kernel on TPU,
+    # lax.sort elsewhere), "on" (force Pallas), "off" (force lax.sort)
+    pallas_merge: str = "auto"
 
     extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
 

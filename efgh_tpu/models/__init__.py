@@ -21,4 +21,11 @@ MODELS = {
 
 
 def build_model(cfg):
+    from efgh_tpu.ops.lattice import set_merge_backend
+
+    set_merge_backend(
+        {"auto": None, "on": "pallas", "off": "sort"}[
+            cfg.get("pallas_merge", "auto")
+        ]
+    )
     return MODELS[cfg.arch].from_config(cfg)

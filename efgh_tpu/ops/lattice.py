@@ -50,6 +50,23 @@ _COORD_MAX = 1000
 _SENTINEL = jnp.uint32(0xFFFFFFFF)
 _FAR = 140.0  # invalid-point teleport (inside packing range, > any real cell)
 
+# neighbor-merge backend: None = auto (Pallas kernel on TPU, lax.sort
+# elsewhere); "sort" / "pallas" / "pallas_interpret" force a path
+_MERGE_BACKEND: Optional[str] = None
+
+
+def set_merge_backend(mode: Optional[str]) -> None:
+    """Select the neighbor-table merge backend (None = auto)."""
+    global _MERGE_BACKEND
+    assert mode in (None, "sort", "pallas", "pallas_interpret"), mode
+    _MERGE_BACKEND = mode
+
+
+def _merge_backend() -> str:
+    if _MERGE_BACKEND is not None:
+        return _MERGE_BACKEND
+    return "pallas" if jax.default_backend() == "tpu" else "sort"
+
 
 class LatticeScale(NamedTuple):
     """Static-shape lattice data for one scale.
@@ -322,15 +339,41 @@ def build_lattice_scale(
         nz = [i for i in range(f) if i != zero_row]
         fq = len(nz)
         # queries: every cell key shifted by every nonzero offset delta (exact
-        # uint32 arithmetic: fields have >= 200 units of margin, offsets <= d1)
-        q = cell_key[None, :] + jnp.asarray(
-            deltas[nz].astype(np.int64) % (1 << 32), np.uint32
-        )[:, None]  # (Fq, H)
-        all_key = jnp.concatenate([cell_key, q.reshape(fq * capacity)])
-        all_id = jnp.concatenate([
-            slot_ids, capacity + jnp.arange(fq * capacity, dtype=jnp.int32)
-        ])
-        sk, sid = jax.lax.sort((all_key, all_id), num_keys=2)  # cells first on ties
+        # uint32 arithmetic: fields have >= 200 units of margin, offsets <= d1).
+        # Shifted sentinels are re-pinned to the sentinel so each query row
+        # stays sorted ascending (required by the Pallas merge; in the sort
+        # path it only renames junk queries for slots masked out below).
+        q = jnp.where(
+            in_use[None, :],
+            cell_key[None, :] + jnp.asarray(
+                deltas[nz].astype(np.int64) % (1 << 32), np.uint32
+            )[:, None],
+            _SENTINEL,
+        )  # (Fq, H)
+        q_ids = capacity + jnp.arange(fq * capacity, dtype=jnp.int32)
+        backend = _merge_backend()
+        if backend.startswith("pallas"):
+            # rows are individually sorted: one bitonic multi-merge on VMEM
+            # tiles instead of a from-scratch lax.sort (docs/PERFORMANCE.md)
+            from efgh_tpu.ops.pallas_merge import merge_rows_pallas
+
+            rows_k = jnp.concatenate([cell_key[None, :], q], axis=0)
+            rows_i = jnp.concatenate(
+                [slot_ids[None, :], q_ids.reshape(fq, capacity)], axis=0
+            )
+            mk, mi = merge_rows_pallas(
+                rows_k, rows_i, interpret=backend == "pallas_interpret"
+            )
+            # the merged stream equals lax.sort's on the first (1+Fq)*H
+            # entries: padding carries the maximal (key, id) pair and every
+            # real entry precedes the sentinel tail
+            sk = mk[: (1 + fq) * capacity]
+            sid = mi[: (1 + fq) * capacity]
+        else:
+            all_key = jnp.concatenate([cell_key, q.reshape(fq * capacity)])
+            all_id = jnp.concatenate([slot_ids, q_ids])
+            # cells first on ties
+            sk, sid = jax.lax.sort((all_key, all_id), num_keys=2)
         is_cell = sid < capacity
 
         # forward-fill the most recent cell's (key, id) over the sorted stream
