@@ -137,21 +137,50 @@ def rotate_image(img: jnp.ndarray, rot_mat: jnp.ndarray,
     ct, st = jnp.cos(theta), jnp.sin(theta)
     cx, cy = w / 2.0, h / 2.0
 
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
-    # inverse map (output -> input), PIL affine convention (verified exactly
-    # against PIL.Image.rotate for the NEAREST path in tests/test_geometry.py)
-    x_src = ct * (xs - cx) - st * (ys - cy) + cx
-    y_src = st * (xs - cx) + ct * (ys - cy) + cy
-
     if method == "nearest":
-        xi = jnp.floor(x_src).astype(jnp.int32)
-        yi = jnp.floor(y_src).astype(jnp.int32)
+        # PIL's NEAREST affine path is 16.16 fixed-point: the per-axis column
+        # increment, row increment, and origin (source coordinate of output
+        # pixel (0,0) center) are each rounded to the nearest 1/65536, then
+        # accumulated in integers with floor via an arithmetic >>16.  This
+        # quantization drifts up to ~0.01 px from the exact affine map across
+        # a 1600-px row, so replicating it (rather than the exact map) is
+        # what makes h_img bit-identical to the reference's PIL detour
+        # (reference common/torch_utils.py:235-254; scheme reverse-engineered
+        # empirically — see tests/test_geometry.py).
+        def fix(v):  # round-to-nearest 1/65536, floor tie-break like PIL
+            return jnp.floor(v * 65536.0 + 0.5).astype(jnp.int32)
+
+        # inverse-map coefficients, PIL convention:
+        #   x_src = a0*(x+.5) + a1*(y+.5) + a2,  a2 = cx*(1-ct) + st*cy
+        #   y_src = a3*(x+.5) + a4*(y+.5) + a5,  a5 = cy*(1-ct) - st*cx
+        # Origin v0 = a0*.5 + a1*.5 + a2 is O(image size); v0*65536 exceeds
+        # f32 integer precision, so split v0 into an exact integer part and
+        # a small fractional remainder before fixing.
+        one_m_ct = 2.0 * jnp.sin(theta * 0.5) ** 2  # 1-cos, accurate near 0
+        vx0 = 0.5 * ct - 0.5 * st + (cx * one_m_ct + st * cy)
+        vy0 = 0.5 * st + 0.5 * ct + (cy * one_m_ct - st * cx)
+
+        def fix_origin(v):
+            k = jnp.floor(v)
+            return k.astype(jnp.int32) * 65536 + fix(v - k)
+
+        xcol = jnp.arange(w, dtype=jnp.int32)[None, :]
+        yrow = jnp.arange(h, dtype=jnp.int32)[:, None]
+        xfix = fix_origin(vx0) + fix(-st) * yrow + fix(ct) * xcol
+        yfix = fix_origin(vy0) + fix(ct) * yrow + fix(st) * xcol
+        xi = jnp.floor_divide(xfix, 65536)
+        yi = jnp.floor_divide(yfix, 65536)
         inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
         xi = jnp.clip(xi, 0, w - 1)
         yi = jnp.clip(yi, 0, h - 1)
         out = img[:, yi, xi]
         return jnp.where(inb[None], out, 0.0)
+
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
+    # inverse map (output -> input), PIL affine convention
+    x_src = ct * (xs - cx) - st * (ys - cy) + cx
+    y_src = st * (xs - cx) + ct * (ys - cy) + cy
     # bilinear
     x0 = jnp.floor(x_src - 0.5)
     y0 = jnp.floor(y_src - 0.5)

@@ -140,24 +140,41 @@ def test_depth_image_basic():
     np.testing.assert_allclose(img[2, 24, 32], 5.0, atol=1e-5)  # pz channel
 
 
+def _pil_match_rate(PIL, img, deg):
+    pil_out = np.array(PIL.fromarray(img).rotate(deg))
+    theta = math.radians(deg)
+    mat = jnp.array(
+        [
+            [math.cos(theta), -math.sin(theta), 0.0],
+            [math.sin(theta), math.cos(theta), 0.0],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    ours = np.asarray(
+        rotate_image(jnp.asarray(img.transpose(2, 0, 1), jnp.float32), mat)
+    ).transpose(1, 2, 0)
+    return np.mean(np.all(np.abs(ours - pil_out) < 1e-3, axis=-1))
+
+
 def test_rotate_image_matches_pil():
+    # the nearest path replicates PIL's 16.16 fixed-point affine scheme;
+    # residual divergence is only f32-vs-double rounding of the fixed-point
+    # parameters at half-integer ties (measured: >=99.99% pixels exact at
+    # 450x800 across the full ±30° decalibration range, worst F-tower
+    # feature delta 1.3e-3 — see PARITY.md)
     PIL = pytest.importorskip("PIL.Image")
     rng = np.random.RandomState(1)
     img = (rng.rand(40, 60, 3) * 255).astype(np.uint8)
-    for deg in [0.0, 7.5, -13.0, 90.0]:
-        pil_out = np.array(PIL.fromarray(img).rotate(deg))
-        theta = math.radians(deg)
-        mat = jnp.array(
-            [
-                [math.cos(theta), -math.sin(theta), 0.0],
-                [math.sin(theta), math.cos(theta), 0.0],
-                [0.0, 0.0, 1.0],
-            ]
-        )
-        ours = np.asarray(
-            rotate_image(jnp.asarray(img.transpose(2, 0, 1), jnp.float32), mat)
-        ).transpose(1, 2, 0)
-        # nearest-neighbor rotations may differ on pixel boundaries; demand
-        # near-exact agreement on the vast majority of pixels
-        match = np.mean(np.all(np.abs(ours - pil_out) < 1e-3, axis=-1))
-        assert match > 0.95, f"deg={deg}: match={match:.3f}"
+    for deg in [0.0, 7.5, -13.0, 27.3, -29.9, 90.0]:
+        match = _pil_match_rate(PIL, img, deg)
+        assert match > 0.999, f"deg={deg}: match={match:.4f}"
+
+
+def test_rotate_image_matches_pil_production_size():
+    # Hnet's mid-forward rotate runs at 450x800 (reference nets/hnet.py:75-79)
+    PIL = pytest.importorskip("PIL.Image")
+    rng = np.random.RandomState(2)
+    img = (rng.rand(450, 800, 3) * 255).astype(np.uint8)
+    for deg in [-18.0, 1.2, 23.7]:
+        match = _pil_match_rate(PIL, img, deg)
+        assert match > 0.9999, f"deg={deg}: match={match:.5f}"

@@ -128,9 +128,12 @@ def test_h_stage_parity(parity_setup):
     np.testing.assert_allclose(jout["h_hrzn_sgn"], tout["h_hrzn_sgn"],
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(jout["h_c"], tout["h_c"], atol=1e-4)
-    # rotated images: nearest-neighbor warps may differ on pixel boundaries
+    # rotated images: the jax nearest path replicates PIL's fixed-point
+    # affine scheme exactly (PARITY.md h_img row); the residual here is the
+    # f32-vs-f64 difference in the *angle* each framework derives from h_c,
+    # which can flip the 1/65536-quantized warp parameters near ties
     match = np.mean(np.abs(jout["h_img"] - tout["h_img"]) < 1.0)
-    assert match > 0.95, match
+    assert match > 0.99, match
 
 
 def test_f_stage_parity(parity_setup):
