@@ -110,6 +110,9 @@ class Config:
     # lattice neighbor-table merge backend: "auto" (Pallas kernel on TPU,
     # lax.sort elsewhere), "on" (force Pallas), "off" (force lax.sort)
     pallas_merge: str = "auto"
+    # rematerialize the conv towers' activations in backward: the HBM
+    # fix for batch>=2 training at production shapes
+    remat: bool = False
 
     extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
 

@@ -28,6 +28,7 @@ class EFGHBackbone(nn.Module):
     last_relu: bool = False
     projection_mode: str = "near"
     compute_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config) -> "EFGHBackbone":
@@ -43,6 +44,7 @@ class EFGHBackbone(nn.Module):
             last_relu=cfg.last_relu,
             projection_mode=cfg.projection_mode,
             compute_dtype=dtype,
+            remat=bool(cfg.get("remat", False)),
         )
 
     @nn.compact
@@ -79,7 +81,8 @@ class EFGHBackbone(nn.Module):
             compute_dtype=self.compute_dtype,
             name="E",
         )(pc, pyramid=pyramid, train=train)
-        reth = Hnet(compute_dtype=self.compute_dtype, name="H")(img, train=train)
+        reth = Hnet(compute_dtype=self.compute_dtype, remat=self.remat,
+                    name="H")(img, train=train)
 
         ret = {**rete, **reth}
         ret["eh_cam_T_velo"] = compute_cam_T_velo(
@@ -91,6 +94,7 @@ class EFGHBackbone(nn.Module):
             lidar_fov_rad=self.lidar_fov_rad,
             projection_mode=self.projection_mode,
             compute_dtype=self.compute_dtype,
+            remat=self.remat,
             name="F",
         )(pc, ret, train=train)
         ret["efh_cam_T_velo"] = compute_cam_T_velo(
@@ -101,6 +105,7 @@ class EFGHBackbone(nn.Module):
             raw_cam_img_size=self.raw_cam_img_size,
             projection_mode=self.projection_mode,
             compute_dtype=self.compute_dtype,
+            remat=self.remat,
             name="G",
         )(pc, img, ret, train=train)
         ret["efgh_cam_T_velo"] = compute_cam_T_velo(

@@ -26,7 +26,7 @@ from efgh_tpu.geometry import (
     rotation_matrix_between_vectors_batched,
     vector_from_radian,
 )
-from efgh_tpu.models.layers import ConvBNRelu, ConvTBNRelu
+from efgh_tpu.models.layers import maybe_remat, ConvBNRelu, ConvTBNRelu
 from efgh_tpu.models.vgg import VGGFeatures
 
 
@@ -80,6 +80,7 @@ class Fnet(nn.Module):
     projection_mode: str = "near"
     correlation: str = "fft"  # "fft" | "direct"
     compute_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, pc: jnp.ndarray, ret: dict, train: bool = True):
@@ -112,13 +113,14 @@ class Fnet(nn.Module):
             span = jnp.max(x) - jnp.min(x)
             return x / jnp.where(span != 0, span, 1.0)
 
-        cam = FeatureTower(name="camera_tower")(h_img, train=train)
+        Tower = maybe_remat(FeatureTower, self.remat)
+        cam = Tower(name="camera_tower")(h_img, train)
         cam_feat = _range_norm(cam)
 
         rng = ConvBNRelu(3, (1, 2), (1, 1), (0, 0), name="conv_range")(
             e_range, train=train
         )
-        rng = FeatureTower(name="range_tower")(rng, train=train)
+        rng = Tower(name="range_tower")(rng, train)
         rng_feat = _range_norm(rng)
 
         offset = rng_feat.shape[2] // 8

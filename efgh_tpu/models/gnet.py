@@ -20,6 +20,7 @@ from efgh_tpu.models.layers import (
     ConvBNRelu,
     ConvTBNRelu,
     concat_crop,
+    maybe_remat,
     normal_init,
 )
 from efgh_tpu.models.resnet import ResNet18Encoder, ResNet18Trunk
@@ -29,6 +30,7 @@ class Gnet(nn.Module):
     raw_cam_img_size: Tuple[int, int] = (900, 1600)
     projection_mode: str = "near"
     compute_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, pc: jnp.ndarray, img: jnp.ndarray, ret: dict,
@@ -41,25 +43,27 @@ class Gnet(nn.Module):
           ret updated with g_depth, g_mask, g_trs, g_l, composed transform.
         """
         x = jnp.transpose(img, (0, 2, 3, 1)).astype(self.compute_dtype)
+        CT = maybe_remat(ConvTBNRelu, self.remat)
 
         # ---- image U-Net (reference nets/gnet.py:103-124) ----
         c1 = ConvBNRelu(64, (3, 3), (1, 1), (1, 1), name="conv_i0")(x, train)
-        c2, c3, c4, c5 = ResNet18Encoder(name="img_encoder")(c1, train)
+        c2, c3, c4, c5 = maybe_remat(ResNet18Encoder, self.remat)(
+            name="img_encoder")(c1, train)
 
-        d4 = ConvTBNRelu(256, (3, 3), (2, 2), (1, 1), (1, 1), name="convt_img4")(
+        d4 = CT(256, (3, 3), (2, 2), (1, 1), (1, 1), name="convt_img4")(
             c5, train
         )
-        d3 = ConvTBNRelu(128, (3, 3), (2, 2), (1, 1), (1, 1), name="convt_img3")(
+        d3 = CT(128, (3, 3), (2, 2), (1, 1), (1, 1), name="convt_img3")(
             concat_crop(c4, d4), train
         )
-        d2 = ConvTBNRelu(64, (3, 3), (2, 2), (1, 1), (1, 1), name="convt_img2")(
+        d2 = CT(64, (3, 3), (2, 2), (1, 1), (1, 1), name="convt_img2")(
             concat_crop(c3, d3), train
         )
         convt = jnp.concatenate([d2, c2], axis=-1)
-        dimg = ConvTBNRelu(1, (3, 3), (2, 2), (1, 1), (1, 1), name="convt_dimg")(
+        dimg = CT(1, (3, 3), (2, 2), (1, 1), (1, 1), name="convt_dimg")(
             convt, train
         )
-        mask = ConvTBNRelu(2, (3, 3), (2, 2), (1, 1), (1, 1), name="convt_mask")(
+        mask = CT(2, (3, 3), (2, 2), (1, 1), (1, 1), name="convt_mask")(
             convt, train
         )
         mask = jax.nn.softmax(mask.astype(jnp.float32), axis=-1)
@@ -76,7 +80,8 @@ class Gnet(nn.Module):
         ci = ConvBNRelu(32, (1, 1), (1, 1), (0, 0), name="conv_i1")(d2, train)
         cd = ConvBNRelu(32, (3, 3), (2, 2), (1, 1), name="conv_d1")(f_depth, train)
         fused = jnp.concatenate([ci, cd], axis=-1)
-        f5 = ResNet18Trunk(name="fusion_encoder")(fused, train)
+        f5 = maybe_remat(ResNet18Trunk, self.remat)(
+            name="fusion_encoder")(fused, train)
 
         t = ConvBNRelu(512, (1, 1), (1, 1), (0, 0), name="conv_trs_1")(f5, train)
         t = ConvBNRelu(512, (1, 1), (1, 1), (0, 0), name="conv_trs_2")(t, train)

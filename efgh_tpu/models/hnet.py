@@ -19,11 +19,13 @@ from efgh_tpu.geometry import (
     rotation_matrix_between_vectors_batched,
 )
 from efgh_tpu.models.layers import BatchNorm, DenseTorch
+from efgh_tpu.models.layers import maybe_remat
 from efgh_tpu.models.vgg import VGGFeatures
 
 
 class Hnet(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, img: jnp.ndarray, train: bool = True):
@@ -33,7 +35,8 @@ class Hnet(nn.Module):
           dict with h_hrzn_abs/sgn, h_hrzn, h_img, h_c, intrinsic_sensor2.
         """
         x = jnp.transpose(img, (0, 2, 3, 1)).astype(self.compute_dtype)  # NHWC
-        feat = VGGFeatures(cfg="A", name="vgg")(x, train=train)  # (B, h, w, 512)
+        feat = maybe_remat(VGGFeatures, self.remat)(
+            cfg="A", name="vgg")(x, train)  # (B, h, w, 512)
         b = feat.shape[0]
         h = feat.reshape(b, -1, feat.shape[-1]).astype(jnp.float32)  # (B, hw, 512)
 

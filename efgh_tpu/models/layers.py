@@ -300,3 +300,17 @@ def concat_crop(t1, t2):
 
 def max_pool_2x2(x):
     return nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+
+
+def maybe_remat(module_cls, enable: bool):
+    """Optionally wrap a tower module with activation rematerialization.
+
+    `nn.remat` (jax.checkpoint) recomputes the tower's internals during the
+    backward pass instead of keeping every conv/BN activation resident —
+    the HBM fix for batch>=2 training at production shapes
+    (docs/PERFORMANCE.md).  Param paths are unchanged (lifted transform),
+    so checkpoints/converters are unaffected.  `train` (arg 2) is static.
+    """
+    if not enable:
+        return module_cls
+    return nn.remat(module_cls, static_argnums=(2,))

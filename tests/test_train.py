@@ -197,3 +197,32 @@ def test_grad_false_keys_freeze():
         np.asarray(new_params["train_layer"]["kernel"]),
         np.asarray(params["train_layer"]["kernel"]),
     )
+
+
+def test_remat_equivalence(setup):
+    """remat=True must be numerically identical (it only changes what is
+    recomputed in backward, not what is computed)."""
+    cfg, model, ds, mesh, batch, _donated = setup
+    cfg_r = _cfg(remat=True)
+    model_r = build_model(cfg_r)
+    crit = EFGHCriterion(cfg)
+    tx = create_optimizer(cfg)
+
+    # fresh state: the module fixture's state was donated by earlier tests
+    state = create_state(model, cfg, batch, jax.random.PRNGKey(0))
+    state = replicate(state, mesh)
+
+    step = make_train_step(model, crit, tx)
+    step_r = make_train_step(model_r, crit, tx)
+    db = _device_batch(batch, mesh)
+    s1, out1 = step(jax.tree_util.tree_map(lambda x: x.copy(), state), db)
+    s2, out2 = step_r(jax.tree_util.tree_map(lambda x: x.copy(), state), db)
+
+    np.testing.assert_allclose(float(out1["losses"]["total"]),
+                               float(out2["losses"]["total"]), rtol=1e-6)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    assert len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
