@@ -54,8 +54,19 @@ def main():
         "raw_cam_img_size": [900, 1600],
         "lattice_capacity": [98304, 49152, 24576, 8192, 2048],
         "compute_dtype": "bfloat16",
+        # EFGH_BENCH_REMAT=1: rematerialize tower activations in backward
+        # (the batch>=2 train-mode HBM fix, docs/PERFORMANCE.md)
+        "remat": os.environ.get("EFGH_BENCH_REMAT", "0") == "1",
     })
     model = build_model(cfg)
+    merge = os.environ.get("EFGH_BENCH_MERGE")  # sort | pallas (A/B knob)
+    if merge or mode == "train":
+        from efgh_tpu.ops.lattice import set_merge_backend
+
+        # train default "sort": the donated train-step executable with the
+        # Pallas merge kernel crashes this host's tunnel client on its 2nd
+        # execution (CLAUDE.md); inference keeps the kernel
+        set_merge_backend(merge or "sort")
     # device-resident inputs: the bench measures chip throughput; the input
     # pipeline overlaps transfers in training/serving (and this host's
     # tunnel link is far slower than any production interconnect).

@@ -113,6 +113,11 @@ class Config:
     # rematerialize the conv towers' activations in backward: the HBM
     # fix for batch>=2 training at production shapes
     remat: bool = False
+    # test-mode: re-estimate BN running stats over N train batches first
+    bn_recalibrate: int = 0
+    # test-mode BN: "running" (reference parity) | "batch" (per-sample
+    # statistics — what the batch-1 training recipe optimizes)
+    eval_bn: str = "running"
 
     extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
