@@ -60,13 +60,12 @@ def main():
     })
     model = build_model(cfg)
     merge = os.environ.get("EFGH_BENCH_MERGE")  # sort | pallas (A/B knob)
-    if merge or mode == "train":
+    if merge:
+        # NOTE: pallas timings through this host's tunnel are NOT
+        # trustworthy — repeated executions return stale results (CLAUDE.md)
         from efgh_tpu.ops.lattice import set_merge_backend
 
-        # train default "sort": the donated train-step executable with the
-        # Pallas merge kernel crashes this host's tunnel client on its 2nd
-        # execution (CLAUDE.md); inference keeps the kernel
-        set_merge_backend(merge or "sort")
+        set_merge_backend(merge)
     # device-resident inputs: the bench measures chip throughput; the input
     # pipeline overlaps transfers in training/serving (and this host's
     # tunnel link is far slower than any production interconnect).

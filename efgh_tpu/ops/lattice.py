@@ -65,7 +65,13 @@ def set_merge_backend(mode: Optional[str]) -> None:
 def _merge_backend() -> str:
     if _MERGE_BACKEND is not None:
         return _MERGE_BACKEND
-    return "pallas" if jax.default_backend() == "tpu" else "sort"
+    # auto = lax.sort everywhere for now: this host's TPU tunnel client
+    # mis-executes Pallas-containing executables on REPEATED execution
+    # (crashes or returns stale results — CLAUDE.md); the kernel itself is
+    # correct (interpret-mode + single-execution device tests) and can be
+    # forced with set_merge_backend("pallas") / pallas_merge: "on" on
+    # healthy hardware.
+    return "sort"
 
 
 class LatticeScale(NamedTuple):

@@ -147,18 +147,6 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
     """Main training driver (reference main.py:178-209 + iterater.py)."""
     from efgh_tpu.utils.preflight import check as preflight_check
 
-    if str(cfg.get("pallas_merge", "auto")) == "auto":
-        # This host's TPU tunnel client crashes on the SECOND execution of
-        # the donated train-step executable when it contains the Pallas
-        # merge kernel (axon client.rs index-out-of-bounds panic; without
-        # donation the 2nd step's outputs come back INVALID_ARGUMENT).
-        # Inference executables with the same kernel run fine, so only the
-        # training path defaults to the lax.sort merge; force with
-        # pallas_merge: "on" to override.
-        from efgh_tpu.ops.lattice import set_merge_backend
-
-        set_merge_backend("sort")
-
     report = preflight_check(cfg)
     for w in report.warnings:
         print(f"[preflight][w] {w}")
@@ -299,13 +287,6 @@ def load_pretrained(path: str, state: TrainState, cfg: Config) -> TrainState:
 def test(cfg: Config, model, test_ds, state=None):
     """Deterministic evaluation writing the per-sample pred CSV
     (reference test.py:13-85)."""
-    if str(cfg.get("pallas_merge", "auto")) == "auto":
-        # re-executing Pallas-containing executables through this host's
-        # TPU tunnel is unreliable outside the bench loop (CLAUDE.md); eval
-        # is not throughput-critical, so default to the lax.sort merge
-        from efgh_tpu.ops.lattice import set_merge_backend
-
-        set_merge_backend("sort")
     mesh = create_mesh(cfg.mesh_data)
     eval_step = make_eval_step(model, criterion=None, with_loss=False,
                                with_panels=bool(cfg.save_image),
