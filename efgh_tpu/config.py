@@ -107,8 +107,12 @@ class Config:
     log_every: int = 50
     # depth/range scatter winner rule: "near" (min depth, physical) or "far"
     projection_mode: str = "near"
-    # lattice neighbor-table merge backend: "auto" (Pallas kernel on TPU,
-    # lax.sort elsewhere), "on" (force Pallas), "off" (force lax.sort)
+    # lattice neighbor-table merge backend: "auto" runs a once-per-host
+    # self-test on TPU (efgh_tpu/ops/merge_probe.py) and enables the Pallas
+    # kernel only if it survives repeated execution (some transports
+    # mis-execute it; lax.sort elsewhere / on CPU); "on" forces Pallas,
+    # "off" forces lax.sort.  Quote the value in YAML (bare on/off are
+    # booleans).  Process-global; must be set before the model is traced.
     pallas_merge: str = "auto"
     # rematerialize the conv towers' activations in backward: the HBM
     # fix for batch>=2 training at production shapes

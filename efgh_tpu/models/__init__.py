@@ -21,11 +21,27 @@ MODELS = {
 
 
 def build_model(cfg):
-    from efgh_tpu.ops.lattice import set_merge_backend
+    # The merge backend is process-global (efgh_tpu/ops/lattice.py) and
+    # baked into traces at trace time: build_model must run (and the value
+    # must be final) BEFORE the model is first jitted; later changes do not
+    # invalidate jit caches.  Building two models with different
+    # `pallas_merge` settings in one process is unsupported — last wins.
+    from efgh_tpu.ops.lattice import _merge_backend, set_merge_backend
 
-    set_merge_backend(
-        {"auto": None, "on": "pallas", "off": "sort"}[
-            cfg.get("pallas_merge", "auto")
-        ]
-    )
+    raw = cfg.get("pallas_merge", "auto")
+    # unquoted YAML `on`/`off` parse as Python bools; accept them
+    if raw is True:
+        raw = "on"
+    elif raw is False:
+        raw = "off"
+    modes = {"auto": None, "on": "pallas", "off": "sort"}
+    if raw not in modes:
+        raise ValueError(
+            f"pallas_merge must be one of {sorted(modes)} (got {raw!r}); "
+            "quote the value in YAML — bare on/off parse as booleans"
+        )
+    set_merge_backend(modes[raw])
+    # resolve "auto" eagerly (probe on TPU hosts) so the choice is pinned
+    # before any tracing, not mid-trace
+    _merge_backend()
     return MODELS[cfg.arch].from_config(cfg)

@@ -62,16 +62,24 @@ def set_merge_backend(mode: Optional[str]) -> None:
     _MERGE_BACKEND = mode
 
 
+_AUTO_RESOLVED: Optional[str] = None
+
+
 def _merge_backend() -> str:
     if _MERGE_BACKEND is not None:
         return _MERGE_BACKEND
-    # auto = lax.sort everywhere for now: this host's TPU tunnel client
-    # mis-executes Pallas-containing executables on REPEATED execution
-    # (crashes or returns stale results — CLAUDE.md); the kernel itself is
-    # correct (interpret-mode + single-execution device tests) and can be
-    # forced with set_merge_backend("pallas") / pallas_merge: "on" on
-    # healthy hardware.
-    return "sort"
+    # auto: run the once-per-host Pallas self-test (merge_probe.py) — some
+    # TPU transports mis-execute Pallas executables on repeated runs
+    # (crashes or stale results — CLAUDE.md); healthy hosts get the 2.57x
+    # kernel, broken ones degrade to lax.sort.  Resolved lazily so pure-CPU
+    # use (tests, dryrun) never pays for it; build_model() resolves it
+    # eagerly before any tracing.
+    global _AUTO_RESOLVED
+    if _AUTO_RESOLVED is None:
+        from efgh_tpu.ops.merge_probe import resolve_auto_backend
+
+        _AUTO_RESOLVED = resolve_auto_backend()
+    return _AUTO_RESOLVED
 
 
 class LatticeScale(NamedTuple):

@@ -288,9 +288,17 @@ def test(cfg: Config, model, test_ds, state=None):
     """Deterministic evaluation writing the per-sample pred CSV
     (reference test.py:13-85)."""
     mesh = create_mesh(cfg.mesh_data)
+    bn_mode = str(cfg.get("eval_bn", "running"))
+    if bn_mode == "batch" and cfg.batch_size != 1:
+        # "batch" means per-SAMPLE statistics (the batch-1 training
+        # semantics); at batch>1 the result would depend on batch
+        # composition and the padded last batch (drop_last=False here)
+        raise ValueError(
+            "eval_bn: 'batch' requires batch_size: 1 (per-sample statistics);"
+            f" got batch_size={cfg.batch_size}")
     eval_step = make_eval_step(model, criterion=None, with_loss=False,
                                with_panels=bool(cfg.save_image),
-                               bn_mode=str(cfg.get("eval_bn", "running")))
+                               bn_mode=bn_mode)
 
     pipe = _pipeline(cfg, test_ds, shuffle=False, drop_last=False)
     if state is None:
@@ -317,12 +325,19 @@ def test(cfg: Config, model, test_ds, state=None):
             train=True, mutable=["batch_stats"])[1]["batch_stats"])
         seen = 0
         while seen < n_recal:
+            got_any = False
             for batch in rpipe:
+                got_any = True
                 state = state.replace(
                     batch_stats=recal_step(state, _device_batch(batch, mesh)))
                 seen += 1
                 if seen >= n_recal:
                     break
+            if not got_any:  # empty pipeline (e.g. split < batch_size)
+                print(f"[w] bn_recalibrate: train pipeline yielded no "
+                      f"batches; recalibrated over {seen} instead of "
+                      f"{n_recal}")
+                break
         print(f"=> BN statistics re-estimated over {n_recal} train batches")
 
     ckpt_name = os.path.basename(os.path.dirname(str(cfg.ckpt_path))) or "ckpt"
