@@ -39,7 +39,12 @@ def main():
     # the backward pass); batch 1 fits. docs/PERFORMANCE.md tracks this.
     default_batch = "1" if mode == "train" else "2"
     batch = int(os.environ.get("EFGH_BENCH_BATCH", default_batch))
-    iters = int(os.environ.get("EFGH_BENCH_ITERS", "12"))
+    iters = int(os.environ.get("EFGH_BENCH_ITERS", "24"))
+    # the official number is the MEDIAN of n_runs timed loops: single-run
+    # wall clock through this host's tunnel varies up to 1.8x between
+    # identical invocations (docs/PERFORMANCE.md), which is how r01/r02
+    # recorded 6.1 vs 4.3 pairs/s for the same code
+    n_runs = int(os.environ.get("EFGH_BENCH_RUNS", "3"))
     n_variants = int(os.environ.get("EFGH_BENCH_VARIANTS", "4"))
 
     import jax
@@ -98,35 +103,46 @@ def main():
         # compile + warmup (donated buffers: step returns a fresh state)
         state, out = step(state, batches[0])
         jax.block_until_ready(out["losses"]["total"])
-        t0 = time.time()
-        for i in range(iters):
-            state, out = step(state, batches[(i + 1) % n_variants])
-        jax.block_until_ready(out["losses"]["total"])
-        dt = (time.time() - t0) / iters
+        dts = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            for i in range(iters):
+                state, out = step(state, batches[(i + 1) % n_variants])
+            jax.block_until_ready(out["losses"]["total"])
+            dts.append((time.time() - t0) / iters)
         metric = "rellis_train_pairs_per_sec_per_chip"
     else:
         fwd = jax.jit(lambda v, pc, img, calib, A: model.apply(
             v, pc, img, calib, A, train=False)["cam_T_velo"])
         # compile + warmup
         out = jax.block_until_ready(fwd(variables, *variants[0]))
-        t0 = time.time()
-        for i in range(iters):
-            pc, img, calib, a = variants[(i + 1) % n_variants]
-            # chain the previous output into this call's input: same values
-            # (x + y*0), fresh buffer, real data dependency — defeats the
-            # remote backend's per-(executable, buffers) result cache
-            pc = pc + out[0, 0, 0] * 0.0
-            out = fwd(variables, pc, img, calib, a)
-        jax.block_until_ready(out)
-        dt = (time.time() - t0) / iters
+        dts = []
+        step_i = 0
+        for _ in range(n_runs):
+            t0 = time.time()
+            for _ in range(iters):
+                step_i += 1
+                pc, img, calib, a = variants[step_i % n_variants]
+                # chain the previous output into this call's input: same
+                # values (x + y*0), fresh buffer, real data dependency —
+                # defeats the remote backend's per-(executable, buffers)
+                # result cache
+                pc = pc + out[0, 0, 0] * 0.0
+                out = fwd(variables, pc, img, calib, a)
+            jax.block_until_ready(out)
+            dts.append((time.time() - t0) / iters)
         metric = "rellis_pairs_per_sec_per_chip"
 
+    dt = sorted(dts)[len(dts) // 2]  # median run
     pairs_per_sec = batch / dt
     print(json.dumps({
         "metric": metric,
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / REFERENCE_CPU_PAIRS_PER_SEC, 1),
+        "runs_pairs_per_sec": [round(batch / d, 3) for d in dts],
+        "batch": batch,
+        "iters_per_run": iters,
     }))
 
 
