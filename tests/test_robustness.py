@@ -18,6 +18,7 @@ def _model():
                         raw_cam_img_size=RAW)
 
 
+@pytest.mark.slow
 def test_batch_consistency(rng):
     """A batch-2 forward equals two stacked batch-1 forwards (vmapped lattice
     + masking behave per-sample; the reference hard-codes batch 1)."""

@@ -82,6 +82,7 @@ def test_train_step_runs_and_updates(setup):
     assert np.isfinite(float(out2["losses"]["total"]))
 
 
+@pytest.mark.slow
 def test_validate_and_test_csv(tmp_path, setup):
     cfg, model, ds, mesh, batch, state0 = setup
     criterion = EFGHCriterion(cfg)
@@ -108,6 +109,7 @@ def test_validate_and_test_csv(tmp_path, setup):
     assert len([x for x in first[1:] if x]) == 12
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, setup):
     cfg, model, ds, mesh, batch, _ = setup
     state = create_state(model, cfg, batch, jax.random.PRNGKey(0))
@@ -136,6 +138,7 @@ class _RecordingSummary:
         self.images.setdefault(tag, []).append((it, np.asarray(img).shape))
 
 
+@pytest.mark.slow
 def test_train_driver_logs_train_and_valid_panels(tmp_path, setup):
     """The reference logs image panels for TRAIN batches at summary intervals
     too (reference iterater.py:48-51), not only from the last val batch."""
@@ -199,6 +202,7 @@ def test_grad_false_keys_freeze():
     )
 
 
+@pytest.mark.slow
 def test_remat_equivalence(setup):
     """remat=True must be numerically identical (it only changes what is
     recomputed in backward, not what is computed)."""
