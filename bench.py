@@ -101,8 +101,10 @@ def main():
             db["gts"] = full["gts"]
             batches.append(jax.device_put(db))
         # compile + warmup (donated buffers: step returns a fresh state)
+        t_c = time.time()
         state, out = step(state, batches[0])
         jax.block_until_ready(out["losses"]["total"])
+        compile_s = time.time() - t_c
         dts = []
         for _ in range(n_runs):
             t0 = time.time()
@@ -112,10 +114,35 @@ def main():
             dts.append((time.time() - t0) / iters)
         metric = "rellis_train_pairs_per_sec_per_chip"
     else:
-        fwd = jax.jit(lambda v, pc, img, calib, A: model.apply(
-            v, pc, img, calib, A, train=False)["cam_T_velo"])
+        if os.environ.get("EFGH_BENCH_SPLIT", "0") == "1":
+            # two-stage jit: the 5-scale vmapped lattice pyramid compiles
+            # separately from the conv towers.  At batch >= 8 the fused
+            # whole-forward graph hits a pathological XLA compile
+            # (docs/PERFORMANCE.md batch table); splitting bounds it.
+            import jax.numpy as jnp
+
+            def build_pyr(pc):
+                from efgh_tpu.ops.lattice import build_lattice_pyramid
+
+                sm = tuple((float(s), int(r)) for s, r in cfg.scale_map)
+                caps = tuple(int(c) for c in cfg.lattice_capacity)
+                return jax.vmap(
+                    lambda p: build_lattice_pyramid(p, sm, caps))(pc)
+
+            pyr_fn = jax.jit(build_pyr)
+            net_fn = jax.jit(lambda v, pc, img, calib, A, pyr: model.apply(
+                v, pc, img, calib, A, pyramid=pyr,
+                train=False)["cam_T_velo"])
+
+            def fwd(v, pc, img, calib, A):
+                return net_fn(v, pc, img, calib, A, pyr_fn(pc))
+        else:
+            fwd = jax.jit(lambda v, pc, img, calib, A: model.apply(
+                v, pc, img, calib, A, train=False)["cam_T_velo"])
         # compile + warmup
+        t_c = time.time()
         out = jax.block_until_ready(fwd(variables, *variants[0]))
+        compile_s = time.time() - t_c
         dts = []
         step_i = 0
         for _ in range(n_runs):
@@ -143,6 +170,7 @@ def main():
         "runs_pairs_per_sec": [round(batch / d, 3) for d in dts],
         "batch": batch,
         "iters_per_run": iters,
+        "compile_s": round(compile_s, 1),
     }))
 
 
