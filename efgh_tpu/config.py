@@ -122,6 +122,9 @@ class Config:
     # test-mode BN: "running" (reference parity) | "batch" (per-sample
     # statistics — what the batch-1 training recipe optimizes)
     eval_bn: str = "running"
+    # loader workers: "thread" (GIL-releasing preprocessing, no IPC) |
+    # "process" (reference-style worker processes, reference main.py:85-92)
+    loader_mode: str = "thread"
 
     extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
 

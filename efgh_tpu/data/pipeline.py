@@ -50,12 +50,38 @@ def collate(samples: Sequence) -> Dict:
     }
 
 
+_WORKER_DS = None
+
+
+def _worker_init(ds):
+    # worker-process global, installed once per worker (the dataset is
+    # pickled once per worker via initargs, not once per task)
+    global _WORKER_DS
+    _WORKER_DS = ds
+
+
+def _worker_get(i):
+    return _WORKER_DS[i]
+
+
 class DataPipeline:
-    """Thread-pool prefetching batch iterator over a map-style dataset."""
+    """Prefetching batch iterator over a map-style dataset.
+
+    worker_mode "thread" (default) runs __getitem__ in a thread pool —
+    PIL decode and numpy preprocessing release the GIL, and samples need no
+    IPC serialization.  worker_mode "process" matches the reference's
+    DataLoader worker processes (reference main.py:85-92): full parallelism
+    for GIL-holding Python preprocessing, at the cost of pickling each
+    sample back to the parent.  Thread mode wins on few-core hosts and
+    numpy-heavy datasets; process mode wins when per-sample Python time
+    dominates and cores are plentiful.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 4, prefetch: int = 2,
-                 drop_last: bool = True, seed: int = 0):
+                 drop_last: bool = True, seed: int = 0,
+                 worker_mode: str = "thread"):
+        assert worker_mode in ("thread", "process"), worker_mode
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -63,6 +89,7 @@ class DataPipeline:
         self.prefetch = max(1, prefetch)
         self.drop_last = drop_last
         self.seed = seed
+        self.worker_mode = worker_mode
         self._epoch = 0
 
     def __len__(self):
@@ -89,10 +116,27 @@ class DataPipeline:
         sentinel = object()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in batches:
-                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    q.put(collate(samples))
+            if self.worker_mode == "process":
+                import multiprocessing as mp
+
+                # forkserver: children fork from a clean non-threaded server
+                # process (forking the jax-threaded parent directly can
+                # deadlock); the dataset is shipped once per worker through
+                # the initializer
+                methods = mp.get_all_start_methods()
+                ctx = mp.get_context(
+                    "forkserver" if "forkserver" in methods else "spawn")
+                with ctx.Pool(self.num_workers, initializer=_worker_init,
+                              initargs=(self.dataset,)) as pool:
+                    for batch_idx in batches:
+                        samples = pool.map(_worker_get, batch_idx)
+                        q.put(collate(samples))
+            else:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in batches:
+                        samples = list(
+                            pool.map(self.dataset.__getitem__, batch_idx))
+                        q.put(collate(samples))
             q.put(sentinel)
 
         t = threading.Thread(target=produce, daemon=True)

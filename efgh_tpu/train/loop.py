@@ -404,7 +404,8 @@ def _pipeline(cfg: Config, ds, shuffle: bool, drop_last: bool = True):
 
     return DataPipeline(ds, batch_size=cfg.batch_size, shuffle=shuffle,
                         num_workers=cfg.workers, drop_last=drop_last,
-                        seed=cfg.seed)
+                        seed=cfg.seed,
+                        worker_mode=str(cfg.get("loader_mode", "thread")))
 
 
 def _summarize(summary, mode, it, lss, err):

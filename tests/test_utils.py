@@ -106,3 +106,25 @@ def test_shape_check_abstract():
     assert shapes["sensor2_T_sensor1"] == (1, 4, 4)
     assert shapes["g_depth"] == (1, 1, 64, 128)
     assert shapes["f_score"][0] == 1
+
+
+def test_pipeline_process_workers_match_thread_workers():
+    """worker_mode='process' (reference-style worker processes) yields the
+    same batches as thread mode (reference main.py:85-92 analog)."""
+    from efgh_tpu.data import DataPipeline, SyntheticDataset
+
+    ds = SyntheticDataset(num_samples=4, num_points=256,
+                          raw_cam_img_size=(32, 64), seed=3)
+    a = next(iter(DataPipeline(ds, batch_size=2, shuffle=False,
+                               num_workers=2, seed=0,
+                               worker_mode="thread")))
+    b = next(iter(DataPipeline(ds, batch_size=2, shuffle=False,
+                               num_workers=2, seed=0,
+                               worker_mode="process")))
+    import numpy as np
+
+    for k in ("pc", "img", "calib", "A"):
+        np.testing.assert_array_equal(a[k], b[k])
+    for k in a["gts"]:
+        np.testing.assert_array_equal(a["gts"][k], b["gts"][k])
+    assert a["fnames"] == b["fnames"]
