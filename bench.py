@@ -130,19 +130,35 @@ def main():
                     lambda p: build_lattice_pyramid(p, sm, caps))(pc)
 
             pyr_fn = jax.jit(build_pyr)
-            net_fn = jax.jit(lambda v, pc, img, calib, A, pyr: model.apply(
-                v, pc, img, calib, A, pyramid=pyr,
-                train=False)["cam_T_velo"])
+            net_fn = jax.jit(
+                lambda v, pc, img, calib, A, pyr, prev: model.apply(
+                    v, pc + prev[0, 0, 0] * 0.0, img, calib, A, pyramid=pyr,
+                    train=False)["cam_T_velo"])
 
-            def fwd(v, pc, img, calib, A):
-                return net_fn(v, pc, img, calib, A, pyr_fn(pc))
+            def fwd(v, pc, img, calib, A, prev):
+                return net_fn(v, pc, img, calib, A, pyr_fn(pc), prev)
         else:
-            fwd = jax.jit(lambda v, pc, img, calib, A: model.apply(
-                v, pc, img, calib, A, train=False)["cam_T_velo"])
-        # compile + warmup
+            # the previous output chains into this call's input INSIDE the
+            # jit (same values: x + y*0; fresh buffer + a true data
+            # dependency).  This defeats the remote backend's
+            # per-(executable, buffers) result cache without issuing eager
+            # chaining ops — each eager op is its own tunnel round-trip
+            # and was costing ~100 ms/call of phantom "wall clock"
+            fwd = jax.jit(lambda v, pc, img, calib, A, prev: model.apply(
+                v, pc + prev[0, 0, 0] * 0.0, img, calib, A,
+                train=False)["cam_T_velo"])
+        # compile + warmup (prev has the output's own (B,3,4) shape/dtype so
+        # the timed calls reuse this exact executable)
+        import jax.numpy as jnp
+
+        prev0 = jnp.zeros((batch, 3, 4), jnp.float32)
         t_c = time.time()
-        out = jax.block_until_ready(fwd(variables, *variants[0]))
+        out = jax.block_until_ready(fwd(variables, *variants[0], prev0))
         compile_s = time.time() - t_c
+        if out.shape != prev0.shape or out.dtype != prev0.dtype:
+            raise RuntimeError(
+                f"chain mismatch: out {out.shape}/{out.dtype} vs "
+                f"prev {prev0.shape}/{prev0.dtype}")
         dts = []
         step_i = 0
         for _ in range(n_runs):
@@ -150,12 +166,7 @@ def main():
             for _ in range(iters):
                 step_i += 1
                 pc, img, calib, a = variants[step_i % n_variants]
-                # chain the previous output into this call's input: same
-                # values (x + y*0), fresh buffer, real data dependency —
-                # defeats the remote backend's per-(executable, buffers)
-                # result cache
-                pc = pc + out[0, 0, 0] * 0.0
-                out = fwd(variables, pc, img, calib, a)
+                out = fwd(variables, pc, img, calib, a, out)
             jax.block_until_ready(out)
             dts.append((time.time() - t0) / iters)
         metric = "rellis_pairs_per_sec_per_chip"
