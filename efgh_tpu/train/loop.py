@@ -279,7 +279,20 @@ def load_pretrained(path: str, state: TrainState, cfg: Config) -> TrainState:
             sd, num_bcn=len(cfg.scale_map), convert_dict=cfg.convert_dict
         )
         return _dc.replace(state, params=params, batch_stats=batch_stats)
-    loaded, _ = restore_checkpoint(path, state)
+    # orbax checkpoint: the saved opt_state was written with the PLAIN
+    # optimizer (no grad_false_keys wrapping — the source run trained all
+    # parameters), so restore against a plain-optimizer template and keep
+    # only the weights.  This is what makes the reference's
+    # pretrained_path + grad_false_keys combination (reference
+    # main.py:162-176,226-235) work for our own checkpoints too.
+    if cfg.grad_false_keys:
+        plain_cfg = _dc.replace(cfg, grad_false_keys=[])
+        plain_tx = create_optimizer(plain_cfg)
+        template = _dc.replace(
+            state, opt_state=plain_tx.init(jax.device_get(state.params)))
+    else:
+        template = state
+    loaded, _ = restore_checkpoint(path, template)
     return _dc.replace(state, params=loaded.params,
                        batch_stats=loaded.batch_stats)
 

@@ -202,6 +202,40 @@ def test_grad_false_keys_freeze():
     )
 
 
+def test_load_pretrained_orbax_with_grad_false_keys(tmp_path, setup):
+    """pretrained_path (orbax) + grad_false_keys (reference main.py:162-176,
+    226-235): the saved opt_state came from a PLAIN optimizer, the receiving
+    state's opt_state is multi_transform-wrapped — load_pretrained must
+    restore weights against a plain-optimizer template and keep the frozen
+    opt_state."""
+    import dataclasses
+
+    from efgh_tpu.train.loop import load_pretrained
+    from efgh_tpu.train.state import TrainState
+
+    cfg, model, ds, mesh, batch, state = setup
+    src = jax.device_get(state)  # plain-optimizer state, host-side
+    save_checkpoint(src, str(tmp_path / "pre"), is_best=False,
+                    iter_iterval=1000)
+
+    frozen_key = sorted(src.params.keys())[0]
+    cfg2 = dataclasses.replace(cfg, grad_false_keys=[frozen_key])
+    tx2 = create_optimizer(cfg2)
+    perturbed = jax.tree_util.tree_map(lambda x: x + 1.0, src.params)
+    state2 = TrainState(step=src.step, params=perturbed,
+                        batch_stats=src.batch_stats,
+                        opt_state=tx2.init(perturbed))
+
+    loaded = load_pretrained(str(tmp_path / "pre"), state2, cfg2)
+    a = jax.tree_util.tree_leaves(loaded.params)
+    b = jax.tree_util.tree_leaves(src.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # opt_state keeps the multi_transform structure (frozen subtree intact)
+    assert jax.tree_util.tree_structure(loaded.opt_state) \
+        == jax.tree_util.tree_structure(state2.opt_state)
+
+
 @pytest.mark.slow
 def test_remat_equivalence(setup):
     """remat=True must be numerically identical (it only changes what is
