@@ -82,6 +82,14 @@ class Config:
     workers: int = 4
     convert_dict: Dict[str, str] = dataclasses.field(default_factory=dict)
     grad_false_keys: List[str] = dataclasses.field(default_factory=list)
+    # linear LR warmup over the first N iters (0 = off).  No reference
+    # equivalent (the reference starts at full lr); opt-in training-quality
+    # knob, default off preserves the reference recipe.
+    lr_warmup: int = 0
+    # exponential moving average of the weights (0 = off).  When on, the
+    # EMA shadow rides in TrainState/checkpoints and test() evaluates the
+    # EMA weights.  No reference equivalent; opt-in, default off.
+    ema_decay: float = 0.0
 
     # decalibration ranges (reference configs/train_rellis.yaml:66-69)
     dclb: Dict[str, float] = dataclasses.field(

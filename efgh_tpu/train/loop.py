@@ -23,9 +23,12 @@ from efgh_tpu.train.state import TrainState, create_optimizer, create_state
 
 
 def make_train_step(model, criterion: EFGHCriterion,
-                    tx: optax.GradientTransformation):
+                    tx: optax.GradientTransformation,
+                    ema_decay: float = 0.0):
     """One compiled SGD step: forward, loss, backward, Adam update.
-    Donated state buffers keep HBM flat."""
+    Donated state buffers keep HBM flat.  When state.ema_params is set
+    (cfg.ema_decay > 0), the EMA shadow is folded into the same fused
+    step."""
 
     def train_step(state: TrainState, batch):
         def loss_fn(params):
@@ -43,9 +46,15 @@ def make_train_step(model, criterion: EFGHCriterion,
         (_, (losses, new_bs, pred_t, gt_t)), grads = grad_fn(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            d = jnp.asarray(ema_decay, jnp.float32)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                ema, params)
         new_state = TrainState(
             step=state.step + 1, params=params,
-            batch_stats=new_bs, opt_state=opt_state,
+            batch_stats=new_bs, opt_state=opt_state, ema_params=ema,
         )
         return new_state, {"losses": losses, "pred_s2s1": pred_t,
                            "gt_s2s1": gt_t}
@@ -194,7 +203,9 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
     from efgh_tpu.train.state import param_count
     print(f"=> total model parameters: {param_count(state.params)/1e6:.2f}M")
 
-    train_step = make_train_step(model, criterion, tx)
+    train_step = make_train_step(
+        model, criterion, tx,
+        ema_decay=float(cfg.get("ema_decay", 0.0) or 0.0))
     eval_step = make_eval_step(model, criterion,
                                with_panels=summary is not None)
 
@@ -319,6 +330,12 @@ def test(cfg: Config, model, test_ds, state=None):
         init_batch = next(iter(pipe))
         state = create_state(model, cfg, init_batch, rng)
         state, _ = restore_checkpoint(str(cfg.ckpt_path), state)
+    if getattr(state, "ema_params", None) is not None:
+        # evaluate the EMA shadow weights (cfg.ema_decay > 0 at train time)
+        import dataclasses as _dc
+
+        state = _dc.replace(state, params=state.ema_params)
+        print("=> evaluating EMA weights")
     state = replicate(state, mesh)
 
     n_recal = int(cfg.get("bn_recalibrate", 0))

@@ -18,14 +18,23 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
+    # EMA shadow of params when cfg.ema_decay > 0, else None (an empty
+    # pytree subtree — checkpoints stay compatible either way)
+    ema_params: Any = None
 
 
 def lr_schedule(cfg: Config):
     """lr * 0.7^(iter // 50000), decay-only
-    (reference common/helper.py:28-38)."""
+    (reference common/helper.py:28-38), with an optional linear warmup
+    over the first cfg.lr_warmup iters (no reference equivalent)."""
+
+    warmup = int(getattr(cfg, "lr_warmup", 0) or 0)
 
     def schedule(step):
-        return cfg.lr * (0.7 ** (step // 50000))
+        lr = cfg.lr * (0.7 ** (step // 50000))
+        if warmup:
+            lr = lr * jnp.minimum(1.0, (step + 1.0) / warmup)
+        return lr
 
     return schedule
 
@@ -69,11 +78,16 @@ def create_state(model, cfg: Config, sample_batch, rng) -> TrainState:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = create_optimizer(cfg)
+    # the shadow must be distinct buffers: the train step donates the whole
+    # state, and aliased params/ema leaves would be donated twice
+    ema = (jax.tree_util.tree_map(jnp.copy, params)
+           if float(getattr(cfg, "ema_decay", 0.0) or 0.0) > 0 else None)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
+        ema_params=ema,
     )
 
 

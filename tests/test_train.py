@@ -213,7 +213,10 @@ def test_load_pretrained_orbax_with_grad_false_keys(tmp_path, setup):
     from efgh_tpu.train.loop import load_pretrained
     from efgh_tpu.train.state import TrainState
 
-    cfg, model, ds, mesh, batch, state = setup
+    cfg, model, ds, mesh, batch, _ = setup
+    # the fixture's state may have been donated by an earlier test;
+    # build a fresh one
+    state = create_state(model, cfg, batch, jax.random.PRNGKey(0))
     src = jax.device_get(state)  # plain-optimizer state, host-side
     save_checkpoint(src, str(tmp_path / "pre"), is_best=False,
                     iter_iterval=1000)
@@ -234,6 +237,61 @@ def test_load_pretrained_orbax_with_grad_false_keys(tmp_path, setup):
     # opt_state keeps the multi_transform structure (frozen subtree intact)
     assert jax.tree_util.tree_structure(loaded.opt_state) \
         == jax.tree_util.tree_structure(state2.opt_state)
+
+
+def test_lr_warmup_schedule():
+    """lr_warmup composes linear warmup onto the reference decay schedule
+    (decay only: reference common/helper.py:28-38; warmup is an opt-in
+    addition with no reference equivalent)."""
+    from efgh_tpu.train.state import lr_schedule
+
+    cfg = _cfg(lr=1e-3, lr_warmup=100)
+    sched = lr_schedule(cfg)
+    np.testing.assert_allclose(float(sched(0)), 1e-3 * 0.01)
+    np.testing.assert_allclose(float(sched(49)), 1e-3 * 0.5)
+    np.testing.assert_allclose(float(sched(99)), 1e-3)
+    np.testing.assert_allclose(float(sched(150)), 1e-3)
+    # warmup is over well before the first 50k-iter decay step
+    np.testing.assert_allclose(float(sched(50_000)), 1e-3 * 0.7, rtol=1e-6)
+    # default off: bit-identical to the reference schedule
+    sched0 = lr_schedule(_cfg(lr=1e-3))
+    np.testing.assert_allclose(float(sched0(0)), 1e-3)
+
+
+def test_ema_shadow_and_checkpoint(tmp_path, setup):
+    """cfg.ema_decay > 0: the train step maintains an EMA of the weights,
+    the shadow rides through checkpoints, and test() evaluates it."""
+    cfg0, model, ds, mesh, batch, _ = setup
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg0, ema_decay=0.5)
+    state = create_state(model, cfg, batch, jax.random.PRNGKey(0))
+    assert state.ema_params is not None
+    p0 = jax.device_get(state.params)
+    state = replicate(state, mesh)
+
+    criterion = EFGHCriterion(cfg)
+    tx = create_optimizer(cfg)
+    step = make_train_step(model, criterion, tx, ema_decay=cfg.ema_decay)
+    db = _device_batch(batch, mesh)
+    state1, _ = step(state, db)
+    # after one step: ema = 0.5*p0 + 0.5*p1
+    p1 = jax.device_get(state1.params)
+    ema1 = jax.device_get(state1.ema_params)
+    flat_p0 = jax.tree_util.tree_leaves(p0)
+    flat_p1 = jax.tree_util.tree_leaves(p1)
+    flat_e1 = jax.tree_util.tree_leaves(ema1)
+    for a, b, e in zip(flat_p0, flat_p1, flat_e1):
+        np.testing.assert_allclose(e, 0.5 * a + 0.5 * b, rtol=1e-5,
+                                   atol=1e-6)
+
+    # checkpoint roundtrip preserves the shadow
+    save_checkpoint(jax.device_get(state1), str(tmp_path / "ema"),
+                    is_best=False, iter_iterval=1000)
+    template = create_state(model, cfg, batch, jax.random.PRNGKey(1))
+    loaded, _ = restore_checkpoint(str(tmp_path / "ema"), template)
+    for a, b in zip(jax.tree_util.tree_leaves(loaded.ema_params), flat_e1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 @pytest.mark.slow
