@@ -118,9 +118,13 @@ class Config:
     # lattice neighbor-table merge backend: "auto" runs a once-per-host
     # self-test on TPU (efgh_tpu/ops/merge_probe.py) and enables the Pallas
     # kernel only if it survives repeated execution (some transports
-    # mis-execute it; lax.sort elsewhere / on CPU); "on" forces Pallas,
-    # "off" forces lax.sort.  Quote the value in YAML (bare on/off are
-    # booleans).  Process-global; must be set before the model is traced.
+    # mis-execute it; lax.sort elsewhere / on CPU) — EXCEPT in the train()
+    # and test() drivers, which force lax.sort under auto because the probe
+    # is not sufficient on at least one transport (see
+    # train/loop.py:_force_sort_merge_under_auto).  "on" forces Pallas
+    # everywhere, "off" forces lax.sort.  Quote the value in YAML (bare
+    # on/off are booleans).  Process-global; must be set before the model
+    # is traced.
     pallas_merge: str = "auto"
     # rematerialize the conv towers' activations in backward: the HBM
     # fix for batch>=2 training at production shapes

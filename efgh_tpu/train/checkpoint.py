@@ -57,12 +57,37 @@ def save_checkpoint(state, ckpt_dir: str, is_best: bool, iter_iterval: int,
 
 
 def restore_checkpoint(path: str, target_state) -> tuple:
-    """Returns (state, meta).  `target_state` provides the pytree structure."""
+    """Returns (state, meta).  `target_state` provides the pytree structure.
+
+    Checkpoints written before the TrainState.ema_params field existed lack
+    that key in their on-disk tree; restore those against the legacy 4-field
+    layout and graft the target's ema_params (None unless cfg.ema_decay > 0)
+    back on."""
     path = os.path.abspath(path)
     if os.path.isdir(os.path.join(path, "checkpoint")):
         path = os.path.join(path, "checkpoint")
     ckptr = _ckptr()
-    state = ckptr.restore(path, target=jax.device_get(target_state))
+    target = jax.device_get(target_state)
+    try:
+        state = ckptr.restore(path, target=target)
+    except ValueError as e:
+        if "ema_params" not in str(e):
+            raise
+        from efgh_tpu.train.state import TrainState
+
+        legacy = {"step": target.step, "params": target.params,
+                  "batch_stats": target.batch_stats,
+                  "opt_state": target.opt_state}
+        r = ckptr.restore(path, target=legacy)
+        # seed an enabled EMA shadow from the RESTORED weights (the legacy
+        # run had no shadow; the template's is a copy of fresh-init params)
+        ema = target.ema_params
+        if ema is not None:
+            ema = jax.tree_util.tree_map(lambda x: x.copy(), r["params"])
+        state = TrainState(step=r["step"], params=r["params"],
+                           batch_stats=r["batch_stats"],
+                           opt_state=r["opt_state"],
+                           ema_params=ema)
     meta = {}
     if os.path.exists(path + ".meta.json"):
         with open(path + ".meta.json") as f:

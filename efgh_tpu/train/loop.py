@@ -152,9 +152,26 @@ def summarize_panels(summary, mode: str, it: int, batch, out, cfg: Config):
         summary.add_image(f"{mode}_image/{k}", arr, it)
 
 
+def _force_sort_merge_under_auto(cfg: Config) -> None:
+    """Long-running driver paths (train/test) force the lax.sort merge when
+    `pallas_merge: auto`.  The per-host Pallas self-test (merge_probe.py) is
+    necessary but NOT sufficient: on this project's remote-tunnel host the
+    small-kernel probe passes 3/3 while the full forward executable still
+    fails readback with INVALID_ARGUMENT (observed 2026-08-17).  Explicit
+    `pallas_merge: "on"` still overrides; bench.py keeps the probe-resolved
+    auto path (its exact loop is verified reliable on this transport)."""
+    raw = cfg.get("pallas_merge", "auto")
+    if raw in ("auto", None):
+        from efgh_tpu.ops.lattice import set_merge_backend
+
+        set_merge_backend("sort")
+
+
 def train(cfg: Config, model, train_ds, val_ds, summary=None):
     """Main training driver (reference main.py:178-209 + iterater.py)."""
     from efgh_tpu.utils.preflight import check as preflight_check
+
+    _force_sort_merge_under_auto(cfg)
 
     report = preflight_check(cfg)
     for w in report.warnings:
@@ -311,6 +328,7 @@ def load_pretrained(path: str, state: TrainState, cfg: Config) -> TrainState:
 def test(cfg: Config, model, test_ds, state=None):
     """Deterministic evaluation writing the per-sample pred CSV
     (reference test.py:13-85)."""
+    _force_sort_merge_under_auto(cfg)
     mesh = create_mesh(cfg.mesh_data)
     bn_mode = str(cfg.get("eval_bn", "running"))
     if bn_mode == "batch" and cfg.batch_size != 1:

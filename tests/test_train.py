@@ -239,6 +239,27 @@ def test_load_pretrained_orbax_with_grad_false_keys(tmp_path, setup):
         == jax.tree_util.tree_structure(state2.opt_state)
 
 
+def test_restore_legacy_checkpoint_without_ema_field(tmp_path, setup):
+    """Checkpoints written before TrainState.ema_params existed (4-field
+    layout) must still restore against the current 5-field template."""
+    import orbax.checkpoint as ocp
+
+    cfg, model, ds, mesh, batch, _ = setup
+    state = create_state(model, cfg, batch, jax.random.PRNGKey(0))
+    src = jax.device_get(state)
+    legacy = {"step": src.step, "params": src.params,
+              "batch_stats": src.batch_stats, "opt_state": src.opt_state}
+    ocp.StandardCheckpointer().save(str(tmp_path / "legacy" / "checkpoint"),
+                                    legacy)
+
+    template = create_state(model, cfg, batch, jax.random.PRNGKey(1))
+    loaded, _ = restore_checkpoint(str(tmp_path / "legacy"), template)
+    assert loaded.ema_params is None
+    for a, b in zip(jax.tree_util.tree_leaves(loaded.params),
+                    jax.tree_util.tree_leaves(src.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lr_warmup_schedule():
     """lr_warmup composes linear warmup onto the reference decay schedule
     (decay only: reference common/helper.py:28-38; warmup is an opt-in
