@@ -131,6 +131,13 @@ class Config:
     remat: bool = False
     # test-mode: re-estimate BN running stats over N train batches first
     bn_recalibrate: int = 0
+    # host-RSS watchdog (GB, 0 = off): some remote-device transports leak
+    # host memory per executed step (~13 MB/iter measured on this project's
+    # tunnel — a 22k-iter run reached 128 GB and was OOM-killed by the
+    # kernel, losing 430 iters of work).  When the train loop's RSS crosses
+    # this limit it checkpoints and exits cleanly (exit code 75) so an
+    # outer loop can resume with a fresh process.
+    rss_limit_gb: float = 0.0
     # test-mode BN: "running" (reference parity) | "batch" (per-sample
     # statistics — what the batch-1 training recipe optimizes)
     eval_bn: str = "running"

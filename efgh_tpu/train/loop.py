@@ -152,6 +152,28 @@ def summarize_panels(summary, mode: str, it: int, batch, out, cfg: Config):
         summary.add_image(f"{mode}_image/{k}", arr, it)
 
 
+def _rss_gb() -> float:
+    """Current process resident set size in GB (0.0 if unreadable)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return float(line.split()[1]) / (1024.0 * 1024.0)
+    except OSError:
+        pass
+    return 0.0
+
+
+class RssLimitExceeded(SystemExit):
+    """Raised (as a clean SystemExit 75) when cfg.rss_limit_gb is crossed;
+    the loop checkpoints first, so resume_path continues losslessly."""
+
+    def __init__(self, rss_gb: float, limit_gb: float):
+        super().__init__(75)
+        self.rss_gb = rss_gb
+        self.limit_gb = limit_gb
+
+
 def _force_sort_merge_under_auto(cfg: Config) -> None:
     """Long-running driver paths (train/test) force the lax.sort merge when
     `pallas_merge: auto`.  The per-host Pallas self-test (merge_probe.py) is
@@ -229,6 +251,7 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
     lss = Lss(criterion.loss_name)
     err = Err(cfg.dataset)
     max_iter = cfg.epochs * len(train_pipe)
+    rss_limit = float(cfg.get("rss_limit_gb", 0.0) or 0.0)
     t_last = time.time()
 
     while int(state.step) < max_iter:
@@ -251,6 +274,18 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
                 print(f"[i] iter {it} total {lss.dict['total'].avg:.2f} "
                       f"rot {err.dict.get('rot_mean', 0):.3f} "
                       f"trs {err.dict.get('trs_mean', 0):.3f} ({dt:.1f}s)")
+                if rss_limit:
+                    rss = _rss_gb()
+                    if rss > rss_limit:
+                        save_checkpoint(state, cfg.ckpt_dir, False,
+                                        cfg.iter_iterval, meta=start_meta)
+                        print(f"[w] host RSS {rss:.1f} GB > rss_limit_gb "
+                              f"{rss_limit:g}; checkpointed at iter "
+                              f"{int(state.step)}, exiting 75 — resume via "
+                              f"resume_path in a fresh process")
+                        if tracer is not None:
+                            tracer.close()
+                        raise RssLimitExceeded(rss, rss_limit)
 
             if it % cfg.iter_iterval == 0 and it != 0:
                 if summary is not None:

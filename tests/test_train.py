@@ -260,6 +260,24 @@ def test_restore_legacy_checkpoint_without_ema_field(tmp_path, setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_rss_watchdog_checkpoints_and_exits(tmp_path, setup):
+    """rss_limit_gb: the loop must checkpoint and exit 75 when host RSS
+    crosses the limit (leaky-transport protection; any real process exceeds
+    the 0.001 GB limit immediately, so this fires on the first logged
+    iter)."""
+    import dataclasses
+
+    from efgh_tpu.train.loop import train
+
+    cfg0, model, ds, mesh, batch, _ = setup
+    cfg = dataclasses.replace(cfg0, rss_limit_gb=0.001, epochs=2,
+                              ckpt_dir=str(tmp_path / "wd"), log_every=1)
+    with pytest.raises(SystemExit) as ei:
+        train(cfg, model, ds, ds)
+    assert ei.value.code == 75
+    assert (tmp_path / "wd" / "checkpoint").is_dir()
+
+
 def test_lr_warmup_schedule():
     """lr_warmup composes linear warmup onto the reference decay schedule
     (decay only: reference common/helper.py:28-38; warmup is an opt-in
