@@ -226,11 +226,23 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
         print(f"=> loaded pretrained weights from {cfg.pretrained_path}")
 
     if cfg.resume_path:
-        state, meta = restore_checkpoint(str(cfg.resume_path), state)
-        state = replicate(state, mesh)
-        if meta:
-            start_meta.update(meta)
-        print(f"=> resumed from {cfg.resume_path} at iter {int(state.step)}")
+        # The reference aborts when resume_path names no file
+        # (reference main.py:149-160); here a missing file falls through to
+        # fresh training instead so one config works for the whole lifetime
+        # of a scripts/train_until_done.sh run (first launch fresh, every
+        # RSS-limit restart resumes).
+        rp = str(cfg.resume_path)
+        rp_ckpt = rp
+        if os.path.isdir(os.path.join(rp, "checkpoint")):
+            rp_ckpt = os.path.join(rp, "checkpoint")
+        if os.path.exists(rp_ckpt):
+            state, meta = restore_checkpoint(rp, state)
+            state = replicate(state, mesh)
+            if meta:
+                start_meta.update(meta)
+            print(f"=> resumed from {rp} at iter {int(state.step)}")
+        else:
+            print(f"=> no checkpoint found at '{rp}' — starting fresh")
 
     trace_dir = cfg.get("trace_dir")
     tracer = None
