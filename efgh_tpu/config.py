@@ -138,6 +138,11 @@ class Config:
     # this limit it checkpoints and exits cleanly (exit code 75) so an
     # outer loop can resume with a fresh process.
     rss_limit_gb: float = 0.0
+    # disk cache directory for generated SYNTHETIC samples ("" = memory
+    # only).  Samples are a pure function of (seed, index); on a 1-core
+    # host generation costs seconds/sample and every RSS-watchdog restart
+    # (fresh process) would otherwise regenerate all of them.
+    sample_cache_dir: str = ""
     # test-mode BN: "running" (reference parity) | "batch" (per-sample
     # statistics — what the batch-1 training recipe optimizes)
     eval_bn: str = "running"

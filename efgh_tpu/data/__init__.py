@@ -36,5 +36,6 @@ def build_dataset(name: str, mode: str, args):
             l_rot_range=dclb.get("l_rot_range", 1.0 / 6.0),
             l_trs_range=dclb.get("l_trs_range", 2.0),
             c_rot_range=dclb.get("c_rot_range", 1.0 / 6.0),
+            cache_dir=args.get("sample_cache_dir", "") or "",
         )
     return DATASETS[name](mode, args)

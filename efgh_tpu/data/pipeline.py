@@ -10,6 +10,7 @@ transfer (see efgh_tpu/parallel).
 from __future__ import annotations
 
 import math
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -170,7 +171,8 @@ class SyntheticDataset:
     def __init__(self, num_samples: int = 16, num_points: int = 65536,
                  raw_cam_img_size=(900, 1600), seed: int = 0,
                  l_rot_range: float = 1.0 / 6.0, l_trs_range: float = 2.0,
-                 c_rot_range: float = 1.0 / 6.0, cache: bool = True):
+                 c_rot_range: float = 1.0 / 6.0, cache: bool = True,
+                 cache_dir: str = ""):
         self.num_samples = num_samples
         self.num_points = num_points
         self.raw = tuple(raw_cam_img_size)
@@ -182,6 +184,13 @@ class SyntheticDataset:
         # each at production shapes; this host has one CPU core, so epoch 2+
         # would otherwise be render-bound)
         self._cache = {} if cache else None
+        # optional disk cache: generation costs seconds/sample on a 1-core
+        # host and the RSS-watchdog restart cycle (train/loop.py,
+        # scripts/train_until_done.sh) starts a fresh process that would
+        # otherwise regenerate every sample each restart
+        self._cache_dir = str(cache_dir) if cache_dir else ""
+        if self._cache_dir:
+            os.makedirs(self._cache_dir, exist_ok=True)
         h, w = self.raw
         # render at the RELLIS native-camera ratio (1200x1920 vs 900x1600,
         # reference rellis3d_loader.py:318: k_scale) so preproc_img_rellis
@@ -189,6 +198,37 @@ class SyntheticDataset:
         self.render_hw = (max(8, int(round(h * 1200 / 900))),
                           max(8, int(round(w * 1920 / 1600))))
         self.n_render = int(min(400_000, max(20_000, 2 * h * w)))
+
+    def _disk_path(self, index):
+        h, w = self.raw
+        tag = (f"s{self.seed}_n{self.num_points}_{h}x{w}"
+               f"_r{self.l_rot_range:.6g}_t{self.l_trs_range:.6g}"
+               f"_c{self.c_rot_range:.6g}_i{index:06d}")
+        return os.path.join(self._cache_dir, tag + ".npy")
+
+    def _disk_get(self, index):
+        if not self._cache_dir:
+            return None
+        path = self._disk_path(index)
+        if not os.path.exists(path):
+            return None
+        try:
+            return tuple(np.load(path, allow_pickle=True))
+        except Exception:
+            return None  # partial/corrupt write; regenerate
+
+    def _disk_put(self, index, sample):
+        if not self._cache_dir:
+            return
+        path = self._disk_path(index)
+        tmp = path + f".{os.getpid()}.tmp.npy"  # .npy suffix: np.save keeps it
+        arr = np.empty(len(sample), dtype=object)
+        arr[:] = sample
+        try:
+            np.save(tmp, arr, allow_pickle=True)
+            os.replace(tmp, path)
+        except OSError:
+            pass
 
     def __len__(self):
         return self.num_samples
@@ -297,6 +337,12 @@ class SyntheticDataset:
         if self._cache is not None and index in self._cache:
             pc, img_u8, calib, a, gts, fname = self._cache[index]
             return pc, img_u8.astype(np.float32), calib, a, gts, fname
+        disk = self._disk_get(index)
+        if disk is not None:
+            if self._cache is not None:
+                self._cache[index] = disk
+            pc, img_u8, calib, a, gts, fname = disk
+            return pc, img_u8.astype(np.float32), calib, a, gts, fname
 
         from efgh_tpu.data.loader_utils import preproc_img_rellis, preproc_pcd
 
@@ -355,4 +401,5 @@ class SyntheticDataset:
                   f"synthetic_{index:06d}")
         if self._cache is not None:
             self._cache[index] = sample
+        self._disk_put(index, sample)
         return (sample[0], sample[1].astype(np.float32), *sample[2:])

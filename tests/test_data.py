@@ -177,3 +177,24 @@ def test_synthetic_points_project_into_image():
     y = xyw[1] / np.where(np.abs(w) > 1e-9, w, 1e-9)
     frac = np.mean((w > 0) & (x > 0) & (x < RAW[1]) & (y > 0) & (y < RAW[0]))
     assert frac > 0.05, frac
+
+
+def test_synthetic_disk_cache_roundtrip(tmp_path):
+    """Disk-cached samples (sample_cache_dir) reload bit-identically, so the
+    RSS-watchdog restart cycle trains on the same data it would regenerate."""
+    kw = dict(num_samples=2, num_points=256, raw_cam_img_size=RAW, seed=3,
+              cache=False, cache_dir=str(tmp_path))
+    fresh = SyntheticDataset(**kw)[0]
+    assert any(f.endswith(".npy") for f in os.listdir(tmp_path))
+    loaded = SyntheticDataset(**kw)[0]
+    for a, b in zip(fresh, loaded):
+        if isinstance(a, dict):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(np.asarray(a[k]),
+                                              np.asarray(b[k]))
+        elif isinstance(a, str):
+            assert a == b
+        else:
+            np.testing.assert_array_equal(a, b)
+            assert a.dtype == b.dtype
