@@ -354,6 +354,30 @@ def load_pretrained(path: str, state: TrainState, cfg: Config) -> TrainState:
             sd, num_bcn=len(cfg.scale_map), convert_dict=cfg.convert_dict
         )
         return _dc.replace(state, params=params, batch_stats=batch_stats)
+    if path.endswith(".npz"):
+        # git-committed weight snapshot (scripts/export_weights.py):
+        # flat "params/<path>" / "batch_stats/<path>" arrays
+        import numpy as _np
+        from flax.traverse_util import unflatten_dict as _unflat
+
+        with _np.load(path) as z:
+            trees = {"params": {}, "batch_stats": {}}
+            for key in z.files:
+                head, _, rest = key.partition("/")
+                if head in trees:
+                    trees[head][tuple(rest.split("/"))] = z[key]
+        params = _unflat(trees["params"])
+        batch_stats = _unflat(trees["batch_stats"])
+        # structural check against the fresh-init trees: a wrong-arch
+        # snapshot should fail loudly here, not at apply time
+        def _check(t, v):
+            if t.shape != v.shape:
+                raise ValueError(f"snapshot shape {v.shape} != {t.shape}")
+            return v
+
+        params = jax.tree_util.tree_map(_check, jax.device_get(state.params),
+                                        params)
+        return _dc.replace(state, params=params, batch_stats=batch_stats)
     # orbax checkpoint: the saved opt_state was written with the PLAIN
     # optimizer (no grad_false_keys wrapping — the source run trained all
     # parameters), so restore against a plain-optimizer template and keep
@@ -394,7 +418,11 @@ def test(cfg: Config, model, test_ds, state=None):
         rng = jax.random.PRNGKey(0)
         init_batch = next(iter(pipe))
         state = create_state(model, cfg, init_batch, rng)
-        state, _ = restore_checkpoint(str(cfg.ckpt_path), state)
+        if str(cfg.ckpt_path).endswith(".npz"):
+            # git-committed weight snapshot (scripts/export_weights.py)
+            state = load_pretrained(str(cfg.ckpt_path), state, cfg)
+        else:
+            state, _ = restore_checkpoint(str(cfg.ckpt_path), state)
     if getattr(state, "ema_params", None) is not None:
         # evaluate the EMA shadow weights (cfg.ema_decay > 0 at train time)
         import dataclasses as _dc

@@ -1,0 +1,62 @@
+"""Export model weights from an orbax checkpoint to a git-friendly .npz.
+
+The training checkpoints live in the gitignored ckpt_dir and die with the
+host (this environment rebuilds VMs between rounds — the round-2 trained
+lineage was lost exactly this way).  This script snapshots the restorable
+part of a run — params + batch_stats + step — into one compressed .npz
+that can be committed, and that `pretrained_path: <file>.npz` loads back
+(efgh_tpu/train/loop.py:load_pretrained).
+
+Usage:
+    python scripts/export_weights.py ckpts/synth/model_best params/foo.npz
+
+Optimizer state is deliberately not exported: Adam moments triple the
+size, and a resumed run re-warms them within a few hundred iters.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def export(ckpt_path: str, out_path: str) -> dict:
+    import orbax.checkpoint as ocp
+    from flax.traverse_util import flatten_dict
+
+    ckpt_path = os.path.abspath(ckpt_path)
+    if os.path.isdir(os.path.join(ckpt_path, "checkpoint")):
+        ckpt_path = os.path.join(ckpt_path, "checkpoint")
+    raw = ocp.StandardCheckpointer().restore(ckpt_path)
+
+    flat = {}
+    for tree_name in ("params", "batch_stats"):
+        tree = raw.get(tree_name)
+        if not tree:
+            continue
+        for kpath, leaf in flatten_dict(tree).items():
+            flat[tree_name + "/" + "/".join(kpath)] = np.asarray(leaf)
+    flat["__step__"] = np.asarray(int(np.asarray(raw["step"])))
+
+    tmp = out_path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **flat)
+    os.replace(tmp, out_path)
+    return flat
+
+
+def main():
+    ckpt_path, out_path = sys.argv[1], sys.argv[2]
+    flat = export(ckpt_path, out_path)
+    n_params = sum(int(v.size) for k, v in flat.items()
+                   if k.startswith("params/"))
+    mb = os.path.getsize(out_path) / 1e6
+    print(f"wrote {out_path}: {len(flat) - 1} arrays, "
+          f"{n_params / 1e6:.2f}M params, {mb:.1f} MB, "
+          f"step {int(flat['__step__'])}")
+
+
+if __name__ == "__main__":
+    main()

@@ -126,6 +126,31 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     assert (tmp_path / "ck" / "model_best").exists()
 
 
+@pytest.mark.slow
+def test_npz_weight_snapshot_roundtrip(tmp_path, setup):
+    """scripts/export_weights.py -> pretrained_path: *.npz roundtrip.
+    Weight snapshots are the git-committable survival path for trained
+    lineages (ckpt_dir is gitignored and dies with the host)."""
+    from efgh_tpu.train.loop import load_pretrained
+    from scripts.export_weights import export
+
+    cfg, model, ds, mesh, batch, _ = setup
+    state = create_state(model, cfg, batch, jax.random.PRNGKey(0))
+    save_checkpoint(state, str(tmp_path / "ck"), is_best=False,
+                    iter_iterval=1000)
+    npz = str(tmp_path / "w.npz")
+    export(str(tmp_path / "ck"), npz)
+
+    fresh = create_state(model, cfg, batch, jax.random.PRNGKey(1))
+    loaded = load_pretrained(npz, fresh, cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(loaded.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.batch_stats),
+                    jax.tree_util.tree_leaves(loaded.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class _RecordingSummary:
     def __init__(self):
         self.scalars = {}
