@@ -28,12 +28,14 @@ Modes (env):
 
 import json
 import os
+import sys
 import time
 
 REFERENCE_CPU_PAIRS_PER_SEC = 0.033788  # benchmarks/reference_cpu.json
 
 
 def main():
+    t_start = time.time()
     mode = os.environ.get("EFGH_BENCH_MODE", "infer")
     # train at production shapes OOMs HBM at batch 2 (G U-Net activations in
     # the backward pass); batch 1 fits. docs/PERFORMANCE.md tracks this.
@@ -81,9 +83,17 @@ def main():
         b = _make_batch(cfg, batch, seed=seed)
         variants.append(tuple(jax.device_put(b[k]) for k in keys))
 
+    # init at batch 1: params are batch-independent, and a full-batch init
+    # would trace the fused whole-forward at the target batch — exactly the
+    # pathological batch-8 compile the split mode exists to avoid
     init = jax.jit(lambda rng, pc, img, calib, A: model.init(
         rng, pc, img, calib, A, train=False))
-    variables = init(jax.random.PRNGKey(0), *variants[0])
+    variables = init(jax.random.PRNGKey(0),
+                     *(v[:1] for v in variants[0]))
+    _stage = time.time()
+    if os.environ.get("EFGH_BENCH_VERBOSE"):
+        print(f"[bench] init done t={_stage - t_start:.0f}s",
+              file=sys.stderr, flush=True)
 
     if mode == "train":
         from efgh_tpu.losses import EFGHCriterion
@@ -126,8 +136,14 @@ def main():
 
                 sm = tuple((float(s), int(r)) for s, r in cfg.scale_map)
                 caps = tuple(int(c) for c in cfg.lattice_capacity)
-                return jax.vmap(
-                    lambda p: build_lattice_pyramid(p, sm, caps))(pc)
+                one = lambda p: build_lattice_pyramid(p, sm, caps)
+                # the batch-vmapped pyramid is THE pathological compile at
+                # batch >= 8 (> 16 min alone; conv towers take 58 s —
+                # benchmarks/pyramid_compile_repro.py); lax.map compiles
+                # the body once and loops, bounding it
+                if pc.shape[0] >= 8:
+                    return jax.lax.map(one, pc)
+                return jax.vmap(one)(pc)
 
             pyr_fn = jax.jit(build_pyr)
             net_fn = jax.jit(
@@ -137,6 +153,13 @@ def main():
 
             def fwd(v, pc, img, calib, A, prev):
                 return net_fn(v, pc, img, calib, A, pyr_fn(pc), prev)
+
+            if os.environ.get("EFGH_BENCH_VERBOSE"):
+                t_p = time.time()
+                jax.block_until_ready(pyr_fn(variants[0][0]))
+                print(f"[bench] pyramid-stage compile "
+                      f"{time.time() - t_p:.0f}s", file=sys.stderr,
+                      flush=True)
         else:
             # the previous output chains into this call's input INSIDE the
             # jit (same values: x + y*0; fresh buffer + a true data

@@ -9,6 +9,12 @@
 #
 # Usage: scripts/train_until_done.sh configs/train_foo.yaml [extra args...]
 set -u
+# persistent XLA compile cache: each watchdog restart re-runs the identical
+# jit code paths, so the ~5 min train-step recompile becomes a ~10 s cache
+# hit (measured: benchmarks/pyramid_compile_repro.py, 295 s -> 11.6 s)
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$(dirname "$0")/../.cache/xla}"
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="${JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS:-10}"
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 while true; do
   python main.py "$@"
   code=$?
