@@ -126,6 +126,14 @@ class Config:
     # on/off are booleans).  Process-global; must be set before the model
     # is traced.
     pallas_merge: str = "auto"
+    # batch axis strategy for the lattice pyramid build: "vmap" (vectorized;
+    # XLA compile explodes at batch >= 8), "map" (lax.map: body compiled
+    # once, bounded compile), "auto" = vmap below GLOBAL batch 8, map at or
+    # above.  Default vmap: auto keys on the traced (global) batch, so under
+    # a data-parallel mesh it would scan across the sharded axis — only opt
+    # into auto/map for single-chip large-batch runs.  docs/PERFORMANCE.md
+    # "Batch-8 compile blowup".
+    pyramid_batching: str = "vmap"
     # rematerialize the conv towers' activations in backward: the HBM
     # fix for batch>=2 training at production shapes
     remat: bool = False

@@ -29,11 +29,13 @@ class EFGHBackbone(nn.Module):
     projection_mode: str = "near"
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    pyramid_batching: str = "vmap"
 
     @classmethod
     def from_config(cls, cfg: Config) -> "EFGHBackbone":
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         return cls(
+            pyramid_batching=str(cfg.get("pyramid_batching", "vmap")),
             scale_map=tuple(tuple(s) for s in cfg.scale_map),
             capacities=tuple(cfg.lattice_capacity),
             raw_cam_img_size=tuple(cfg.raw_cam_img_size),
@@ -79,6 +81,7 @@ class EFGHBackbone(nn.Module):
             bcn_use_norm=self.bcn_use_norm,
             last_relu=self.last_relu,
             compute_dtype=self.compute_dtype,
+            pyramid_batching=self.pyramid_batching,
             name="E",
         )(pc, pyramid=pyramid, train=train)
         reth = Hnet(compute_dtype=self.compute_dtype, remat=self.remat,

@@ -43,12 +43,35 @@ class Enet(nn.Module):
     last_relu: bool = False
     dim: int = 3
     compute_dtype: jnp.dtype = jnp.float32
+    # batch axis strategy for the pyramid build: "vmap" vectorizes every
+    # sort/scan across the batch (fastest to run, but XLA compile time
+    # explodes at batch >= 8 — docs/PERFORMANCE.md, benchmarks/
+    # pyramid_compile_repro.py); "map" (lax.map) compiles the body once
+    # and loops; "auto" picks vmap below batch 8, map at or above.
+    # Default vmap: "auto" keys on the TRACED batch dim, which under a
+    # data-parallel mesh is the global batch — lax.map would then scan
+    # across the sharded axis.  Opt into auto/map for single-chip
+    # large-batch runs only.  The two paths quantize coarser scales with
+    # different ulp-level rounding (cell centers sit exactly on the next
+    # scale's remainder planes), so pyramids agree structurally but not
+    # bit-for-bit; either tie-break is a valid lattice
+    # (tests/test_lattice.py).
+    pyramid_batching: str = "vmap"
 
     def build_pyramid(self, pc: jnp.ndarray) -> List[LatticeScale]:
-        """(B, 3, N) -> batched lattice pyramid (vmapped device build)."""
+        """(B, 3, N) -> batched lattice pyramid (on-device build)."""
         scale_map = tuple((float(s), int(r)) for s, r in self.scale_map)
         caps = tuple(int(c) for c in self.capacities)
-        return jax.vmap(lambda p: build_lattice_pyramid(p, scale_map, caps))(pc)
+        one = lambda p: build_lattice_pyramid(p, scale_map, caps)
+        mode = self.pyramid_batching
+        if mode == "auto":
+            mode = "map" if pc.shape[0] >= 8 else "vmap"
+        if mode == "map":
+            return jax.lax.map(one, pc)
+        if mode != "vmap":
+            raise ValueError(
+                f"pyramid_batching must be auto|vmap|map (got {mode!r})")
+        return jax.vmap(one)(pc)
 
     @nn.compact
     def __call__(

@@ -175,6 +175,75 @@ def test_pyramid_vmap(rng):
     assert pyr[1].lattice_offset.shape == (3, 4, 1024)
 
 
+def test_pyramid_map_matches_vmap(rng):
+    """lax.map batching (the bounded-compile path used at batch >= 8 —
+    docs/PERFORMANCE.md 'Batch-8 compile blowup') agrees with the vmapped
+    default wherever the result is numerically well-defined.
+
+    At the FIRST scale the two lower to the same quantization of the same
+    inputs: integer outputs must be bit-identical and float outputs agree
+    to ulp-level.  At coarser scales exact parity is unattainable by
+    construction — the coarsening feeds cell CENTERS of the fine lattice,
+    which land exactly on the next scale's remainder-plane boundaries, so
+    ulp-level reassociation differences between the vmap and map lowerings
+    legitimately flip tie-breaks (either rounding is a valid lattice).
+    There we assert structural validity + statistical agreement instead."""
+    # moderate spread: keeps every scale well under capacity (no overflow
+    # masking, which would legitimately de-normalize barycentric rows)
+    pcs = jnp.asarray(np.stack([_rand_cloud(rng, 256, spread=4.0)
+                                for _ in range(3)]))
+    scale_map = [[1.0, 1], [0.5, 1]]
+    caps = [1024, 512]
+    one = lambda p: L.build_lattice_pyramid(p, scale_map, caps)
+    via_vmap = jax.vmap(one)(pcs)
+    via_map = jax.lax.map(one, pcs)
+
+    # scale 0: same quantization
+    np.testing.assert_array_equal(np.asarray(via_vmap[0].lattice_offset),
+                                  np.asarray(via_map[0].lattice_offset))
+    np.testing.assert_array_equal(np.asarray(via_vmap[0].num_cells),
+                                  np.asarray(via_map[0].num_cells))
+    np.testing.assert_allclose(np.asarray(via_vmap[0].barycentric),
+                               np.asarray(via_map[0].barycentric),
+                               atol=1e-5)
+
+    # scale 1: valid, similarly-sized lattices (tie-breaks may differ)
+    nv = np.asarray(via_vmap[1].num_cells).astype(np.int64)
+    nm = np.asarray(via_map[1].num_cells).astype(np.int64)
+    assert (nv > 0).all() and (nm > 0).all()
+    assert (np.abs(nv - nm) <= np.maximum(4, nv // 4)).all(), (nv, nm)
+    # barycentric weights stay well-formed under the map path: every
+    # input row's weights sum to ~1 (real input) or ~0 (padding), and at
+    # least num_cells-of-scale-0 rows are real
+    bm = np.asarray(via_map[1].barycentric)
+    sums = bm.sum(axis=1)  # (B, N_in)
+    near1 = np.abs(sums - 1.0) < 1e-4
+    near0 = np.abs(sums) < 1e-4
+    assert (near1 | near0).all()
+    assert (near1.sum(axis=1) >= np.asarray(via_map[0].num_cells)).all()
+
+
+def test_pyramid_batching_knob(rng):
+    """Enet.build_pyramid honors pyramid_batching: auto selects map at
+    batch >= 8 (compile-bound regime), explicit modes run, bad values
+    raise."""
+    from efgh_tpu.models.enet import Enet
+
+    pcs = jnp.asarray(np.stack([_rand_cloud(rng, 64) for _ in range(8)]))
+    scale_map = ((1.0, 1), (0.5, 1))
+    caps = (256, 128)
+    kw = dict(scale_map=scale_map, capacities=caps)
+    p_vmap = Enet(pyramid_batching="vmap", **kw).build_pyramid(pcs)
+    p_auto = Enet(pyramid_batching="auto", **kw).build_pyramid(pcs)
+    # auto at batch 8 = map: scale-0 quantization matches vmap exactly
+    np.testing.assert_array_equal(np.asarray(p_vmap[0].lattice_offset),
+                                  np.asarray(p_auto[0].lattice_offset))
+    assert p_auto[1].barycentric.shape == p_vmap[1].barycentric.shape
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        Enet(pyramid_batching="nope", **kw).build_pyramid(pcs)
+
+
 def test_slice_roundtrip(rng):
     """Splat a constant field then slice it back: constants are reproduced."""
     n, cap = 400, 4096
