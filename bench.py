@@ -67,12 +67,19 @@ def main():
     })
     model = build_model(cfg)
     merge = os.environ.get("EFGH_BENCH_MERGE")  # sort | pallas (A/B knob)
+    from efgh_tpu.ops.lattice import set_merge_backend
+
     if merge:
         # NOTE: pallas timings through this host's tunnel are NOT
         # trustworthy — repeated executions return stale results (CLAUDE.md)
-        from efgh_tpu.ops.lattice import set_merge_backend
-
         set_merge_backend(merge)
+    else:
+        # like train()/test(), force lax.sort under auto: the merge probe
+        # passing is NOT sufficient on tunnel transports (a later host
+        # rebuild turned the previously-reliable Pallas bench loop into a
+        # stale-result generator reporting 2000+ "pairs/s").  Healthy
+        # directly-attached hosts opt in with EFGH_BENCH_MERGE=pallas.
+        set_merge_backend("sort")
     # device-resident inputs: the bench measures chip throughput; the input
     # pipeline overlaps transfers in training/serving (and this host's
     # tunnel link is far slower than any production interconnect).
@@ -196,6 +203,19 @@ def main():
 
     dt = sorted(dts)[len(dts) // 2]  # median run
     pairs_per_sec = batch / dt
+    # plausibility guard: device self-time alone bounds this workload at
+    # ~6.2 pairs/s/chip on v5e (docs/PERFORMANCE.md roofline); a rate far
+    # above that means the transport served stale/cached results and the
+    # number is garbage — refuse to report it as a benchmark
+    max_sane = float(os.environ.get("EFGH_BENCH_MAX_SANE", "50"))
+    if pairs_per_sec > max_sane:
+        print(json.dumps({
+            "error": f"implausible rate {pairs_per_sec:.1f} pairs/s "
+                     f"(> {max_sane}): transport served stale results",
+            "metric": metric, "runs_pairs_per_sec":
+                [round(batch / d, 3) for d in dts],
+        }))
+        raise SystemExit(1)
     print(json.dumps({
         "metric": metric,
         "value": round(pairs_per_sec, 3),
