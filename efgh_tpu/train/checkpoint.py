@@ -24,10 +24,15 @@ def _ckptr():
 
 
 def save_checkpoint(state, ckpt_dir: str, is_best: bool, iter_iterval: int,
-                    meta: Optional[Dict[str, Any]] = None) -> None:
+                    meta: Optional[Dict[str, Any]] = None,
+                    step: Optional[int] = None) -> None:
+    """`step` is the driver's iteration counter; state.step is one ahead of
+    it at save time (the optimizer update increments first), which would
+    never satisfy `step % iter_iterval == 0` — so interval-stamped copies
+    only happen when the caller passes the true iteration."""
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
-    step = int(state.step)
+    step = int(state.step) if step is None else int(step)
     ckptr = _ckptr()
 
     latest = os.path.join(ckpt_dir, "checkpoint")

@@ -290,11 +290,12 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
                     rss = _rss_gb()
                     if rss > rss_limit:
                         save_checkpoint(state, cfg.ckpt_dir, False,
-                                        cfg.iter_iterval, meta=start_meta)
+                                        cfg.iter_iterval, meta=start_meta,
+                                        step=it)
                         print(f"[w] host RSS {rss:.1f} GB > rss_limit_gb "
-                              f"{rss_limit:g}; checkpointed at iter "
-                              f"{int(state.step)}, exiting 75 — resume via "
-                              f"resume_path in a fresh process")
+                              f"{rss_limit:g}; checkpointed at iter {it}, "
+                              "exiting 75 — resume via resume_path in a "
+                              "fresh process")
                         if tracer is not None:
                             tracer.close()
                         raise RssLimitExceeded(rss, rss_limit)
@@ -323,7 +324,7 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
                     start_meta["best_val_iter"] = it
                     print("New min val loss!")
                 save_checkpoint(state, cfg.ckpt_dir, is_best,
-                                cfg.iter_iterval, meta=start_meta)
+                                cfg.iter_iterval, meta=start_meta, step=it)
                 print(f"Best val loss: {start_meta['min_val_loss']:.5f} at "
                       f"iter {start_meta['best_val_iter']}")
                 lss.flush()

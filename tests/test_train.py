@@ -113,8 +113,12 @@ def test_validate_and_test_csv(tmp_path, setup):
 def test_checkpoint_roundtrip(tmp_path, setup):
     cfg, model, ds, mesh, batch, _ = setup
     state = create_state(model, cfg, batch, jax.random.PRNGKey(0))
+    # step: the DRIVER's iteration (state.step is one ahead at save time);
+    # multiples of iter_iterval get an interval-stamped rotation copy
     save_checkpoint(state, str(tmp_path / "ck"), is_best=True,
-                    iter_iterval=1000, meta={"min_val_loss": 1.25})
+                    iter_iterval=1000, meta={"min_val_loss": 1.25},
+                    step=1000)
+    assert (tmp_path / "ck" / "checkpoint_1000").exists()
     state2 = create_state(model, cfg, batch, jax.random.PRNGKey(1))
     restored, meta = restore_checkpoint(str(tmp_path / "ck"), state2)
     assert meta["min_val_loss"] == 1.25
