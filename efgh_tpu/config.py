@@ -90,6 +90,16 @@ class Config:
     # EMA shadow rides in TrainState/checkpoints and test() evaluates the
     # EMA weights.  No reference equivalent; opt-in, default off.
     ema_decay: float = 0.0
+    # per-branch LR multipliers: {path-substring: factor} scales the
+    # post-Adam update of every param whose path contains the substring
+    # (same path/matching semantics as grad_false_keys).  Adam is
+    # per-parameter scale-invariant, so loss-lambda changes cannot speed a
+    # lagging branch up — this can (docs/ACCURACY.md).  No reference
+    # equivalent; opt-in, default off preserves the reference recipe.
+    # NOTE: enabling it changes the optimizer (and so checkpoint opt_state)
+    # structure — start a fresh segment from an .npz via pretrained_path
+    # rather than resuming an old checkpoint with a different setting.
+    lr_scale_keys: Dict[str, float] = dataclasses.field(default_factory=dict)
 
     # decalibration ranges (reference configs/train_rellis.yaml:66-69)
     dclb: Dict[str, float] = dataclasses.field(

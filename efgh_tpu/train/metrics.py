@@ -70,6 +70,13 @@ class Err:
                 rot, trs = float(rre), float(rte)
             for k, v in (("rot", rot), ("trs", trs)):
                 self.error_dict.setdefault(k, []).append(v)
+            # per-axis translation residuals: the headline RTE hides
+            # axis-staged convergence (t_z learns long before t_x/t_y on
+            # the synthetic benchmark — docs/ACCURACY.md), so track each
+            # axis so a frozen axis is visible in tensorboard mid-run
+            for ax, nm in enumerate("xyz"):
+                self.error_dict.setdefault("trs_" + nm, []).append(
+                    float(abs(g[ax, 3] - p[ax, 3])))
         for k, vals in self.error_dict.items():
             self.dict[k + "_mean"] = float(np.mean(vals))
             self.dict[k + "_std"] = float(np.std(vals))

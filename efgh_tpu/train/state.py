@@ -39,10 +39,41 @@ def lr_schedule(cfg: Config):
     return schedule
 
 
+def _scale_updates_by_path(scale_keys: Dict[str, float]
+                           ) -> optax.GradientTransformation:
+    """Stateless per-branch update scaling: multiply the (post-Adam) update
+    of every param whose '/'-joined path contains a key by its factor.
+    Scaling UPDATES is the only way to speed a branch up under Adam —
+    gradient/loss-lambda scaling is normalized away per-parameter."""
+    keys = dict(scale_keys)
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def walk(path, u):
+            p = "/".join(str(k.key) for k in path if hasattr(k, "key"))
+            f = 1.0
+            for key, fac in keys.items():
+                if key in p:
+                    f *= float(fac)
+            return u * f if f != 1.0 else u
+
+        return jax.tree_util.tree_map_with_path(walk, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def create_optimizer(cfg: Config) -> optax.GradientTransformation:
     tx = optax.adam(learning_rate=lr_schedule(cfg))
     if cfg.weight_decay:
         tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
+    scale_keys = dict(getattr(cfg, "lr_scale_keys", {}) or {})
+    if scale_keys:
+        tx = optax.chain(tx, _scale_updates_by_path(scale_keys))
     if cfg.grad_false_keys:
         # freeze parameter subtrees whose path contains any listed key
         # (reference main.py:226-235)

@@ -390,3 +390,53 @@ def test_remat_equivalence(setup):
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_err_per_axis_translation_keys():
+    """Err tracks |gt-pred| per translation axis next to the headline
+    RRE/RTE (axis-staged convergence diagnostics, docs/ACCURACY.md)."""
+    from efgh_tpu.train.metrics import Err
+
+    err = Err("SYNTHETIC")
+    g = np.eye(4)[None]
+    p = np.eye(4)[None].copy()
+    p[0, :3, 3] = [0.1, 0.2, 0.3]
+    err.update_batch(g, p)
+    assert np.isclose(err.dict["trs_x_mean"], 0.1)
+    assert np.isclose(err.dict["trs_y_mean"], 0.2)
+    assert np.isclose(err.dict["trs_z_mean"], 0.3)
+    assert np.isclose(err.dict["trs_mean"], np.linalg.norm([0.1, 0.2, 0.3]))
+    # KITTI_RAW keeps its mean-abs headline alongside the per-axis keys
+    err2 = Err("KITTI_RAW")
+    err2.update_batch(g, p)
+    assert np.isclose(err2.dict["trs_mean"], 0.2)
+    assert np.isclose(err2.dict["trs_z_mean"], 0.3)
+
+
+def test_lr_scale_keys_scales_updates_per_branch():
+    """lr_scale_keys multiplies the post-Adam update of matching param
+    subtrees only — the Adam-compatible way to speed up a lagging branch
+    (loss-lambda rescaling is normalized away per-parameter)."""
+    import optax
+
+    from efgh_tpu.train.state import create_optimizer
+
+    import jax.numpy as jnp
+
+    base = Config.from_dict({"lr": 1e-4})
+    boosted = Config.from_dict({"lr": 1e-4, "lr_scale_keys": {"G/": 10.0}})
+    params = {"E": {"w": jnp.ones((3,))}, "G": {"head": {"w": jnp.ones((3,))}}}
+    grads = jax.tree_util.tree_map(lambda x: jnp.full_like(x, 0.5), params)
+
+    tx0, tx1 = create_optimizer(base), create_optimizer(boosted)
+    u0, _ = tx0.update(grads, tx0.init(params), params)
+    u1, _ = tx1.update(grads, tx1.init(params), params)
+
+    np.testing.assert_allclose(u1["E"]["w"], u0["E"]["w"], rtol=1e-6)
+    np.testing.assert_allclose(u1["G"]["head"]["w"], 10.0 * u0["G"]["head"]["w"],
+                               rtol=1e-6)
+    # default (no lr_scale_keys) keeps the plain-adam opt_state structure —
+    # old checkpoints keep restoring
+    assert jax.tree_util.tree_structure(tx0.init(params)) == \
+        jax.tree_util.tree_structure(
+            optax.adam(learning_rate=lambda s: 1e-4).init(params))
