@@ -264,6 +264,12 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
     err = Err(cfg.dataset)
     max_iter = cfg.epochs * len(train_pipe)
     rss_limit = float(cfg.get("rss_limit_gb", 0.0) or 0.0)
+    # One-shot cooperative stop: `touch <ckpt_dir>/STOP` checkpoints at the
+    # next logged iter and returns cleanly (exit 0 — also ends a
+    # train_until_done.sh watchdog loop).  Without this, harvesting a live
+    # run means SIGKILL, losing up to iter_iterval iters of progress.  The
+    # marker is consumed (deleted) so the next launch trains normally.
+    stop_file = os.path.join(str(cfg.ckpt_dir), "STOP")
     t_last = time.time()
 
     while int(state.step) < max_iter:
@@ -299,6 +305,16 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
                         if tracer is not None:
                             tracer.close()
                         raise RssLimitExceeded(rss, rss_limit)
+                if os.path.exists(stop_file):
+                    save_checkpoint(state, cfg.ckpt_dir, False,
+                                    cfg.iter_iterval, meta=start_meta,
+                                    step=it)
+                    os.remove(stop_file)
+                    print(f"[i] STOP file seen; checkpointed at iter {it} "
+                          "and exiting cleanly")
+                    if tracer is not None:
+                        tracer.close()
+                    return state
 
             if it % cfg.iter_iterval == 0 and it != 0:
                 if summary is not None:

@@ -307,6 +307,26 @@ def test_rss_watchdog_checkpoints_and_exits(tmp_path, setup):
     assert (tmp_path / "wd" / "checkpoint").is_dir()
 
 
+def test_stop_file_checkpoints_and_returns(tmp_path, setup):
+    """`touch <ckpt_dir>/STOP` must make the loop checkpoint at the next
+    logged iter and return cleanly (consuming the marker) — the lossless
+    way to harvest a live run instead of SIGKILLing between checkpoints."""
+    import dataclasses
+
+    from efgh_tpu.train.loop import train
+
+    cfg0, model, ds, mesh, batch, _ = setup
+    ckpt_dir = tmp_path / "st"
+    cfg = dataclasses.replace(cfg0, rss_limit_gb=0.0, epochs=2,
+                              ckpt_dir=str(ckpt_dir), log_every=1)
+    ckpt_dir.mkdir()
+    (ckpt_dir / "STOP").touch()
+    state = train(cfg, model, ds, ds)
+    assert state is not None
+    assert (ckpt_dir / "checkpoint").is_dir()
+    assert not (ckpt_dir / "STOP").exists()
+
+
 def test_lr_warmup_schedule():
     """lr_warmup composes linear warmup onto the reference decay schedule
     (decay only: reference common/helper.py:28-38; warmup is an opt-in
