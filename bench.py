@@ -34,8 +34,25 @@ import time
 REFERENCE_CPU_PAIRS_PER_SEC = 0.033788  # benchmarks/reference_cpu.json
 
 
+def enable_compile_cache():
+    """Persistent XLA compile cache (works through this host's tunnel —
+    CLAUDE.md): a repeated identical invocation loads executables in ~10 s
+    instead of recompiling for ~5 min.  Must run before the first
+    compilation; safe to call whether or not jax is already imported."""
+    cache_dir = os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".cache", "xla"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+    os.makedirs(cache_dir, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+
+
 def main():
     t_start = time.time()
+    enable_compile_cache()
     mode = os.environ.get("EFGH_BENCH_MODE", "infer")
     # train at production shapes OOMs HBM at batch 2 (G U-Net activations in
     # the backward pass); batch 1 fits. docs/PERFORMANCE.md tracks this.

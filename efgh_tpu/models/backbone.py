@@ -30,12 +30,21 @@ class EFGHBackbone(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool = False
     pyramid_batching: str = "vmap"
+    mesh_devices: int = 1
 
     @classmethod
     def from_config(cls, cfg: Config) -> "EFGHBackbone":
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        # `pyramid_batching: auto` decides per-DEVICE, so it needs the mesh
+        # size the step will run under (cfg.mesh_data; -1 = all devices)
+        md = int(cfg.get("mesh_data", 1) or 1)
+        if md == -1:
+            import jax
+
+            md = jax.device_count()
         return cls(
             pyramid_batching=str(cfg.get("pyramid_batching", "vmap")),
+            mesh_devices=md,
             scale_map=tuple(tuple(s) for s in cfg.scale_map),
             capacities=tuple(cfg.lattice_capacity),
             raw_cam_img_size=tuple(cfg.raw_cam_img_size),
@@ -82,6 +91,7 @@ class EFGHBackbone(nn.Module):
             last_relu=self.last_relu,
             compute_dtype=self.compute_dtype,
             pyramid_batching=self.pyramid_batching,
+            mesh_devices=self.mesh_devices,
             name="E",
         )(pc, pyramid=pyramid, train=train)
         reth = Hnet(compute_dtype=self.compute_dtype, remat=self.remat,

@@ -47,16 +47,18 @@ class Enet(nn.Module):
     # sort/scan across the batch (fastest to run, but XLA compile time
     # explodes at batch >= 8 — docs/PERFORMANCE.md, benchmarks/
     # pyramid_compile_repro.py); "map" (lax.map) compiles the body once
-    # and loops; "auto" picks vmap below batch 8, map at or above.
-    # Default vmap: "auto" keys on the TRACED batch dim, which under a
-    # data-parallel mesh is the global batch — lax.map would then scan
-    # across the sharded axis.  Opt into auto/map for single-chip
-    # large-batch runs only.  The two paths quantize coarser scales with
+    # and loops; "auto" picks vmap below a PER-DEVICE batch of 8, map at
+    # or above.  The traced batch dim is the GLOBAL batch, so under a
+    # data-parallel mesh auto divides by `mesh_devices` (wired from
+    # cfg.mesh_data by EFGHBackbone.from_config) — the compile blowup is
+    # per-device, and lax.map across a sharded axis would serialize what
+    # the mesh parallelizes.  The two paths quantize coarser scales with
     # different ulp-level rounding (cell centers sit exactly on the next
     # scale's remainder planes), so pyramids agree structurally but not
     # bit-for-bit; either tie-break is a valid lattice
     # (tests/test_lattice.py).
     pyramid_batching: str = "vmap"
+    mesh_devices: int = 1
 
     def build_pyramid(self, pc: jnp.ndarray) -> List[LatticeScale]:
         """(B, 3, N) -> batched lattice pyramid (on-device build)."""
@@ -65,7 +67,8 @@ class Enet(nn.Module):
         one = lambda p: build_lattice_pyramid(p, scale_map, caps)
         mode = self.pyramid_batching
         if mode == "auto":
-            mode = "map" if pc.shape[0] >= 8 else "vmap"
+            per_dev = max(1, pc.shape[0] // max(1, self.mesh_devices))
+            mode = "map" if per_dev >= 8 else "vmap"
         if mode == "map":
             return jax.lax.map(one, pc)
         if mode != "vmap":

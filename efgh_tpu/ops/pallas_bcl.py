@@ -1,0 +1,124 @@
+"""Pallas TPU kernel: BCL blur neighbor gather through VMEM.
+
+`bcl_gather_neighbors` (efgh_tpu/ops/lattice.py) is the #2 device-time
+block after the sorts: `splat[blur_neighbors.T + 1]` issues H*F random row
+reads of C*2 bytes each straight from HBM, which TPUs execute at ~90 MB/s
+(37.6 ms/pair-2 across bcn1-3, docs/PERFORMANCE.md).  The reference's
+equivalent is the blur-neighbor indexing inside its chunked Conv2d blur
+(reference nets/bilateralNN.py:223-246).
+
+This kernel restructures the gather so HBM only ever sees sequential
+streams:
+
+  * the (H+1, C) splat table is streamed through VMEM in row chunks of S
+    (inner grid dim); chunk reads are sequential DMA at full bandwidth;
+  * each grid program holds one cell tile's (T, F) neighbor indices in
+    VMEM and, PER OFFSET f, gathers that offset's T indices from the
+    chunk (`jnp.take` -> VPU-speed VMEM access), masked to the rows that
+    live in this chunk;
+  * offsets whose index range misses the chunk entirely are skipped with
+    `pl.when` — cell keys are sorted and each blur offset shifts keys by a
+    constant delta, so the F index columns are each (nearly) monotonic in
+    the cell index and a tile's column touches ~1-2 chunks, not all of
+    them.  This predication is what keeps VMEM gather traffic ~the output
+    size instead of n_chunks x that;
+  * the (T, F, C) output tile accumulates across the chunk grid dim; every
+    index is in-window for exactly one chunk, so the accumulation (adding
+    exact zeros elsewhere) reconstructs the gather BIT-exactly.
+
+The gather runs on the table's own dtype; bf16 rows are returned as-is, so
+outputs are bit-identical to the XLA `splat[blur_neighbors.T + 1]` path
+(asserted by tests/test_pallas_bcl.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _gather_kernel(idx_ref, chunk_ref, out_ref, *, s: int, f_dim: int):
+    """One (cell-tile, table-chunk) program.
+
+    idx_ref: (T, F) int32 — +1-shifted neighbor ids of this cell tile.
+    chunk_ref: (S, C) — rows [c*S, (c+1)*S) of the padded splat table.
+    out_ref: (T, F, C) — accumulated across the chunk grid dim.
+    """
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    rel = idx_ref[...] - c * s  # (T, F)
+    ok = (rel >= 0) & (rel < s)
+    tbl = chunk_ref[...]  # (S, C)
+    for f in range(f_dim):  # static unroll over the offset axis
+        ok_f = ok[:, f]
+
+        @pl.when(jnp.any(ok_f))
+        def _(f=f, ok_f=ok_f):
+            relc = jnp.where(ok_f, rel[:, f], 0)  # (T,)
+            g = jnp.take(tbl, relc, axis=0)  # (T, C)
+            out_ref[:, f, :] += jnp.where(ok_f[:, None], g,
+                                          jnp.zeros_like(g))
+
+
+def bcl_gather_neighbors_pallas(
+    splat: jnp.ndarray,
+    blur_neighbors: jnp.ndarray,
+    *,
+    tile: int = 512,
+    chunk_rows: int = 4096,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bit-exact replacement for `bcl_gather_neighbors` (lattice.py).
+
+    Args:
+      splat: (H+1, C) float32/bfloat16 cell table (row 0 = zero row).
+      blur_neighbors: (F, H) int32 neighbor ids, -1 where absent.
+      tile: cells per grid program (T).
+      chunk_rows: table rows per VMEM chunk (S); VMEM cost is
+        S x 128(lane-padded) x itemsize, double-buffered.
+    Returns:
+      (H, F, C): splat[blur_neighbors.T + 1].
+    """
+    rows, c_dim = splat.shape
+    f_dim, h = blur_neighbors.shape
+    s = chunk_rows
+    rows_p = _ceil_to(rows, s)
+    h_p = _ceil_to(h, tile)
+
+    table = splat
+    if rows_p != rows:
+        table = jnp.pad(table, ((0, rows_p - rows), (0, 0)))
+    idx = blur_neighbors.T + 1  # (H, F); 0 = the zero row
+    if h_p != h:
+        idx = jnp.pad(idx, ((0, h_p - h), (0, 0)))  # pads gather row 0
+
+    grid = (h_p // tile, rows_p // s)
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, s=s, f_dim=f_dim),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, f_dim), lambda t, c: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, c_dim), lambda t, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, f_dim, c_dim), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h_p, f_dim, c_dim), splat.dtype),
+        interpret=interpret,
+    )(idx, table)
+    return out[:h]

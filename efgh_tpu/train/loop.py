@@ -174,6 +174,42 @@ class RssLimitExceeded(SystemExit):
         self.limit_gb = limit_gb
 
 
+def _checkpoint_and_close(state, cfg: Config, meta, it, tracer) -> None:
+    """Shared exit sequence for the RSS-watchdog, STOP-file, and loop-tail
+    paths: write the latest checkpoint (+ meta) and close the tracer."""
+    save_checkpoint(state, cfg.ckpt_dir, False, cfg.iter_iterval,
+                    meta=meta, step=it)
+    if tracer is not None:
+        tracer.close()
+
+
+def _pad_eval_batch(batch, bsz: int):
+    """Pad a partial batch to `bsz` rows by repeating the final sample, so
+    the leading axis always divides the mesh (parallel/mesh.py:38-41 —
+    test() runs drop_last=False and a split not divisible by
+    batch x devices would otherwise crash at the last batch).  Returns
+    (padded_batch, n_real); callers must ignore rows >= n_real.  `fnames`
+    keeps its true length — iterating it is the natural mask."""
+    n_real = int(batch["pc"].shape[0])
+    if n_real == bsz:
+        return batch, n_real
+    pad = bsz - n_real
+
+    def _pad(a):
+        a = np.asarray(a)
+        return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], axis=0)
+
+    out = {}
+    for k, v in batch.items():
+        if k == "fnames":
+            out[k] = list(v)
+        elif isinstance(v, dict):
+            out[k] = {kk: _pad(vv) for kk, vv in v.items()}
+        else:
+            out[k] = _pad(v)
+    return out, n_real
+
+
 def _force_sort_merge_under_auto(cfg: Config) -> None:
     """Long-running driver paths (train/test) force the lax.sort merge when
     `pallas_merge: auto`.  The per-host Pallas self-test (merge_probe.py) is
@@ -195,7 +231,7 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
 
     _force_sort_merge_under_auto(cfg)
 
-    report = preflight_check(cfg)
+    report = preflight_check(cfg, train=True)
     for w in report.warnings:
         print(f"[preflight][w] {w}")
     report.raise_on_error()
@@ -221,9 +257,11 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
     state = replicate(state, mesh)
     start_meta = {"min_val_loss": float("inf"), "best_val_iter": -1}
 
+    pretrained_only_start = False
     if cfg.pretrained_path:
         state = load_pretrained(str(cfg.pretrained_path), state, cfg)
         print(f"=> loaded pretrained weights from {cfg.pretrained_path}")
+        pretrained_only_start = True
 
     if cfg.resume_path:
         # The reference aborts when resume_path names no file
@@ -241,6 +279,7 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
             if meta:
                 start_meta.update(meta)
             print(f"=> resumed from {rp} at iter {int(state.step)}")
+            pretrained_only_start = False
         else:
             print(f"=> no checkpoint found at '{rp}' — starting fresh")
 
@@ -292,29 +331,6 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
                 print(f"[i] iter {it} total {lss.dict['total'].avg:.2f} "
                       f"rot {err.dict.get('rot_mean', 0):.3f} "
                       f"trs {err.dict.get('trs_mean', 0):.3f} ({dt:.1f}s)")
-                if rss_limit:
-                    rss = _rss_gb()
-                    if rss > rss_limit:
-                        save_checkpoint(state, cfg.ckpt_dir, False,
-                                        cfg.iter_iterval, meta=start_meta,
-                                        step=it)
-                        print(f"[w] host RSS {rss:.1f} GB > rss_limit_gb "
-                              f"{rss_limit:g}; checkpointed at iter {it}, "
-                              "exiting 75 — resume via resume_path in a "
-                              "fresh process")
-                        if tracer is not None:
-                            tracer.close()
-                        raise RssLimitExceeded(rss, rss_limit)
-                if os.path.exists(stop_file):
-                    save_checkpoint(state, cfg.ckpt_dir, False,
-                                    cfg.iter_iterval, meta=start_meta,
-                                    step=it)
-                    os.remove(stop_file)
-                    print(f"[i] STOP file seen; checkpointed at iter {it} "
-                          "and exiting cleanly")
-                    if tracer is not None:
-                        tracer.close()
-                    return state
 
             if it % cfg.iter_iterval == 0 and it != 0:
                 if summary is not None:
@@ -335,6 +351,17 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
                         summarize_panels(summary, "valid", it, vb, vo, cfg)
                 val_total = val["loss"]["total"].avg
                 is_best = val_total < start_meta["min_val_loss"]
+                if is_best and pretrained_only_start:
+                    # an npz/pretrained-only start resets min_val_loss to
+                    # inf AND sits inside the optimizer re-warm transient
+                    # (docs/ACCURACY.md) — the first validation would crown
+                    # regressed weights as model_best.  Skip that crowning
+                    # once; later validations compete against inf normally.
+                    print("[i] first validation after a pretrained-only "
+                          "start: not updating model_best (re-warm "
+                          "transient; docs/ACCURACY.md)")
+                    is_best = False
+                pretrained_only_start = False
                 if is_best:
                     start_meta["min_val_loss"] = val_total
                     start_meta["best_val_iter"] = it
@@ -346,10 +373,28 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
                 lss.flush()
                 err.flush()
 
-    if tracer is not None:
-        tracer.close()
-    save_checkpoint(state, cfg.ckpt_dir, False, cfg.iter_iterval,
-                    meta=start_meta)
+            # RSS/STOP harvesting runs AFTER the boundary validation block so
+            # a STOP landing on an iter_iterval boundary checkpoints the
+            # refreshed meta/model_best instead of skipping them (ADVICE r3)
+            if it % cfg.log_every == 0:
+                if rss_limit:
+                    rss = _rss_gb()
+                    if rss > rss_limit:
+                        _checkpoint_and_close(state, cfg, start_meta, it,
+                                              tracer)
+                        print(f"[w] host RSS {rss:.1f} GB > rss_limit_gb "
+                              f"{rss_limit:g}; checkpointed at iter {it}, "
+                              "exiting 75 — resume via resume_path in a "
+                              "fresh process")
+                        raise RssLimitExceeded(rss, rss_limit)
+                if os.path.exists(stop_file):
+                    _checkpoint_and_close(state, cfg, start_meta, it, tracer)
+                    os.remove(stop_file)
+                    print(f"[i] STOP file seen; checkpointed at iter {it} "
+                          "and exiting cleanly")
+                    return state
+
+    _checkpoint_and_close(state, cfg, start_meta, None, tracer)
     return state
 
 
@@ -508,9 +553,12 @@ def test(cfg: Config, model, test_ds, state=None):
     err = Err(cfg.dataset)
     with open(pred_path, "w") as f:
         for batch in pipe:
+            # drop_last=False: pad a partial last batch to batch_size (mesh
+            # divisibility) and mask the padded rows out of metrics/CSV
+            batch, n_real = _pad_eval_batch(batch, cfg.batch_size)
             out = eval_step(state, _device_batch(batch, mesh))
-            pred = np.asarray(out["pred_s2s1"])
-            gt = np.asarray(batch["gts"]["sensor2_T_sensor1"])
+            pred = np.asarray(out["pred_s2s1"])[:n_real]
+            gt = np.asarray(batch["gts"]["sensor2_T_sensor1"])[:n_real]
             err.update_batch(gt, pred)
             for b, fname in enumerate(batch["fnames"]):
                 if cfg.dataset == "KITTI_RAW":

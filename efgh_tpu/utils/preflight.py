@@ -30,7 +30,22 @@ class PreflightReport:
             raise RuntimeError("preflight failed:\n" + "\n".join(self.errors))
 
 
-def check(cfg: Config, crop_radius: float = 50.0) -> PreflightReport:
+# Backward-pass activation footprint, calibrated against the one measured
+# OOM: batch-2 900x1600 bf16 train WITHOUT remat reserved 16.87 GiB on a
+# 15.75 GiB v5e (docs/PERFORMANCE.md) — dominated by f32 conv-tower temps
+# (G U-Net f32[450,·,·,64] and friends) held for the backward.  Subtracting
+# the ~0.9e9 forward estimate leaves ~5.9 KB of stored temps per raw image
+# pixel per sample.  With remat over the conv towers only block-boundary
+# activations survive; 0.15 reproduces "batch-2 remat fits comfortably".
+_BWD_BYTES_PER_PIXEL = 5900
+_REMAT_BWD_FRACTION = 0.15
+
+
+def check(cfg: Config, crop_radius: float = 50.0, train: bool = False,
+          hbm_limit_bytes: int = 0) -> PreflightReport:
+    """`train=True` adds the backward-pass HBM estimate (the round-3 batch-2
+    OOM was invisible to the inference-only model).  `hbm_limit_bytes`
+    overrides the device-reported limit (testability on CPU hosts)."""
     warnings: List[str] = []
     errors: List[str] = []
 
@@ -81,16 +96,27 @@ def check(cfg: Config, crop_radius: float = 50.0) -> PreflightReport:
         + (h // 2) * (w * 2) * 4 * 4       # range image f32
         + h * w * 4 * 4                    # depth image f32
     )
-    limit = None
-    try:
-        stats = devices[0].memory_stats()
-        limit = stats.get("bytes_limit") if stats else None
-    except Exception:
-        pass
+    if train:
+        # stored-for-backward conv-tower temps (f32 regardless of
+        # compute_dtype — XLA keeps the accumulating temps wide)
+        bwd = per_dev_batch * h * w * _BWD_BYTES_PER_PIXEL
+        if bool(cfg.get("remat", False)):
+            bwd = int(bwd * _REMAT_BWD_FRACTION)
+        est += bwd
+    limit = hbm_limit_bytes or None
+    if limit is None:
+        try:
+            stats = devices[0].memory_stats()
+            limit = stats.get("bytes_limit") if stats else None
+        except Exception:
+            pass
     if limit and est > 0.6 * limit:
         warnings.append(
-            f"estimated activations {est/1e9:.1f} GB close to device limit"
-            f" {limit/1e9:.1f} GB; consider smaller batch or capacities"
+            f"estimated {'train-step' if train else 'activation'} HBM "
+            f"{est/1e9:.1f} GB vs device limit {limit/1e9:.1f} GB"
+            + (" — will very likely OOM; enable remat: true or reduce batch"
+               if est > limit else
+               "; consider smaller batch or capacities")
         )
 
     return PreflightReport(ok=not errors, warnings=warnings, errors=errors,

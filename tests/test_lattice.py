@@ -244,6 +244,29 @@ def test_pyramid_batching_knob(rng):
         Enet(pyramid_batching="nope", **kw).build_pyramid(pcs)
 
 
+def test_pyramid_auto_keys_on_per_device_batch(monkeypatch, rng):
+    """`pyramid_batching: auto` must decide on the PER-DEVICE batch (the
+    compile blowup is per device; lax.map across a sharded axis would
+    serialize what the mesh parallelizes): global batch 8 on a 2-device
+    mesh is per-device 4 -> vmap; the same batch single-device -> map."""
+    from efgh_tpu.models.enet import Enet
+
+    map_batches = []
+    real_map = jax.lax.map
+
+    def spy(f, xs, *a, **kw):
+        map_batches.append(int(xs.shape[0]))
+        return real_map(f, xs, *a, **kw)
+
+    monkeypatch.setattr(jax.lax, "map", spy)
+    pcs = jnp.asarray(np.stack([_rand_cloud(rng, 64) for _ in range(8)]))
+    kw = dict(scale_map=((1.0, 1), (0.5, 1)), capacities=(256, 128))
+    Enet(pyramid_batching="auto", mesh_devices=2, **kw).build_pyramid(pcs)
+    assert map_batches == []  # per-device batch 4 < 8 -> vmap
+    Enet(pyramid_batching="auto", mesh_devices=1, **kw).build_pyramid(pcs)
+    assert map_batches == [8]  # single device: global batch 8 -> map
+
+
 def test_slice_roundtrip(rng):
     """Splat a constant field then slice it back: constants are reproduced."""
     n, cap = 400, 4096

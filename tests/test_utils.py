@@ -81,6 +81,27 @@ def test_preflight_bad_batch():
         report.raise_on_error()
 
 
+def test_preflight_train_backward_estimate():
+    """The measured round-3 OOM (batch-2 900x1600 train WITHOUT remat needed
+    16.87 GiB on a 15.75 GiB v5e) must be predicted by the train-mode
+    estimate, and the remat config that actually ran must stay quiet."""
+    v5e = int(15.75 * 2**30)
+    base = {"batch_size": 2, "mesh_data": 1, "compute_dtype": "bfloat16",
+            "raw_cam_img_size": [900, 1600],
+            "lattice_capacity": [98304, 49152, 24576, 8192, 2048]}
+    oom = preflight_check(Config.from_dict({**base, "remat": False}),
+                          train=True, hbm_limit_bytes=v5e)
+    assert any("OOM" in w for w in oom.warnings), oom.warnings
+    ok = preflight_check(Config.from_dict({**base, "remat": True}),
+                         train=True, hbm_limit_bytes=v5e)
+    assert not any("HBM" in w or "OOM" in w for w in ok.warnings), ok.warnings
+    # inference estimate unchanged by the flag
+    inf = preflight_check(Config.from_dict({**base, "remat": False}),
+                          hbm_limit_bytes=v5e)
+    assert inf.est_activation_bytes < ok.est_activation_bytes \
+        < oom.est_activation_bytes
+
+
 def test_step_timer():
     t = StepTimer(window=2)
     t.tick()
