@@ -509,6 +509,20 @@ def bcl_splat(
     return splat
 
 
+# BCL blur-gather backend: "xla" = plain advanced indexing (random HBM row
+# reads, ~90 MB/s on TPU); "pallas" = the VMEM-chunk streaming kernel
+# (ops/pallas_bcl.py, bit-identical output).  Like the merge backend, the
+# default stays "xla" until the kernel is validated on the target host
+# (benchmarks/bcl_gather_bench.py).
+_BCL_GATHER_BACKEND = "xla"
+
+
+def set_bcl_gather_backend(mode: str) -> None:
+    assert mode in ("xla", "pallas", "pallas_interpret"), mode
+    global _BCL_GATHER_BACKEND
+    _BCL_GATHER_BACKEND = mode
+
+
 def bcl_gather_neighbors(
     splat: jnp.ndarray, blur_neighbors: jnp.ndarray
 ) -> jnp.ndarray:
@@ -518,6 +532,12 @@ def bcl_gather_neighbors(
     (F, C) axes with an MXU matmul (the reference's Conv2d over the neighbor
     axis, reference nets/bilateralNN.py:233-246).
     """
+    if _BCL_GATHER_BACKEND != "xla":
+        from efgh_tpu.ops.pallas_bcl import bcl_gather_neighbors_pallas
+
+        return bcl_gather_neighbors_pallas(
+            splat, blur_neighbors,
+            interpret=_BCL_GATHER_BACKEND == "pallas_interpret")
     return splat[blur_neighbors.T + 1]  # (H, F, C)
 
 

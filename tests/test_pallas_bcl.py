@@ -76,6 +76,23 @@ def test_matches_on_real_lattice(rng_cloud=None):
     np.testing.assert_array_equal(got, want)
 
 
+def test_backend_knob_dispatches():
+    """set_bcl_gather_backend routes the production bcl_gather_neighbors
+    call through the kernel (and back), mirroring the merge-backend gate."""
+    from efgh_tpu.ops import lattice
+
+    rng = np.random.default_rng(11)
+    splat, bn = _synthetic(rng, 512, 7, 20, 512, np.float32)
+    splat, bn = jnp.asarray(splat), jnp.asarray(bn)
+    want = np.asarray(lattice.bcl_gather_neighbors(splat, bn))
+    lattice.set_bcl_gather_backend("pallas_interpret")
+    try:
+        got = np.asarray(lattice.bcl_gather_neighbors(splat, bn))
+    finally:
+        lattice.set_bcl_gather_backend("xla")
+    np.testing.assert_array_equal(got, want)
+
+
 def test_vmaps_over_batch():
     """The BCL module vmaps the gather over the batch axis; the pallas_call
     batching rule must produce the same stacked result."""
