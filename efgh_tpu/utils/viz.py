@@ -104,10 +104,63 @@ def save_image(img, fname):
     Image.fromarray(img).save(fname)
 
 
+# fixed debug camera (the reference's hard-coded open3d viewpoint,
+# reference common/numpy_utils.py:590-593)
+_DBG_FRONT = np.array([0.9288, -0.2951, -0.2242])
+_DBG_UP = np.array([-0.3402, -0.9189, -0.1996])
+_DBG_SRC_COLOR = (255, 180, 0)      # open3d [1, 0.706, 0]
+_DBG_TGT_COLOR = (0, 166, 237)      # open3d [0, 0.651, 0.929]
+
+
+def render_registration_result(source, target=None, size: int = 800,
+                               px: int = 1, path: str = None) -> np.ndarray:
+    """Headless analog of the reference's open3d registration viewers
+    (reference common/numpy_utils.py:579-606): orthographic render of one
+    or two (3, N) clouds from the same hard-coded viewpoint with the same
+    source/target colors, nearest-point-wins, returned as (size, size, 3)
+    uint8 (optionally saved as PNG).  Works without open3d — this
+    environment (and most TPU pods) has no display or open3d wheel."""
+    f = -_DBG_FRONT / np.linalg.norm(_DBG_FRONT)       # view direction
+    u = _DBG_UP - _DBG_UP.dot(f) * f
+    u = u / np.linalg.norm(u)
+    r = np.cross(u, f)
+    rot = np.stack([r, u, f])  # rows: right, up, forward
+
+    clouds = [(np.asarray(source, np.float64), _DBG_SRC_COLOR)]
+    if target is not None:
+        clouds.append((np.asarray(target, np.float64), _DBG_TGT_COLOR))
+    pts = np.concatenate([c.T for c, _ in clouds])          # (N, 3)
+    cols = np.concatenate(
+        [np.tile(np.array(col, np.uint8), (c.shape[1], 1))
+         for c, col in clouds])
+    cam = pts @ rot.T
+    lo, hi = cam[:, :2].min(0), cam[:, :2].max(0)
+    span = float(max((hi - lo).max(), 1e-6))
+    xy = ((cam[:, :2] - (lo + hi) / 2) / span * (size * 0.9)
+          + size / 2).astype(np.int64)
+    img = np.zeros((size, size, 3), np.uint8)
+    order = np.argsort(-cam[:, 2])  # far first -> near overwrites
+    xs = np.clip(xy[order, 0], px, size - 1 - px)
+    ys = np.clip(size - 1 - xy[order, 1], px, size - 1 - px)
+    for dy in range(-px, px + 1):
+        for dx in range(-px, px + 1):
+            img[ys + dy, xs + dx] = cols[order]
+    if path:
+        save_image(img, path)
+    return img
+
+
 def draw_registration_result(source, target):
     """Interactive open3d viewer for a pair of clouds (debug aid; reference
-    common/numpy_utils.py:579-594).  Requires open3d at call time."""
-    import open3d as o3d  # optional; not in the production env
+    common/numpy_utils.py:579-594).  Falls back to the headless
+    render_registration_result PNG when open3d is absent."""
+    try:
+        import open3d as o3d  # optional; not in the production env
+    except ImportError:
+        path = "registration_debug.png"
+        render_registration_result(source, target, path=path)
+        print(f"[viz] open3d unavailable; wrote {path}")
+        return
 
     def _cloud(pts, color):
         pc = o3d.geometry.PointCloud()
@@ -122,8 +175,14 @@ def draw_registration_result(source, target):
 
 def draw_single_registration_result(source):
     """Interactive open3d viewer for one cloud (reference
-    common/numpy_utils.py:596-606)."""
-    import open3d as o3d
+    common/numpy_utils.py:596-606).  Headless PNG fallback as above."""
+    try:
+        import open3d as o3d
+    except ImportError:
+        path = "registration_debug_single.png"
+        render_registration_result(source, path=path)
+        print(f"[viz] open3d unavailable; wrote {path}")
+        return
 
     pc = o3d.geometry.PointCloud()
     pc.points = o3d.utility.Vector3dVector(np.transpose(source))

@@ -144,3 +144,17 @@ def test_backbone_jit_and_train_mode(backbone_setup):
     assert "batch_stats" in new_state
     assert out["cam_T_velo"].shape == (1, 3, 4)
     assert np.all(np.isfinite(np.asarray(out["cam_T_velo"])))
+
+
+def test_batch_stats_pinned_f32_under_bf16(backbone_setup):
+    """BN running statistics must stay float32 even when compute_dtype is
+    bfloat16 (the bf16 long-horizon recipe, docs/PERFORMANCE.md): low-
+    precision accumulation of momentum-0.9 EMAs drifts over 10k+ iters."""
+    _, _, (pc, img, calib, A) = backbone_setup
+    model = EFGHBackbone(scale_map=SCALE_MAP, capacities=CAPS,
+                         raw_cam_img_size=RAW, compute_dtype=jnp.bfloat16)
+    vars_ = model.init(jax.random.PRNGKey(0), pc, img, calib, A, train=True)
+    leaves = jax.tree_util.tree_leaves_with_path(vars_["batch_stats"])
+    assert leaves
+    for path, leaf in leaves:
+        assert leaf.dtype == jnp.float32, (path, leaf.dtype)

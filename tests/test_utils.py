@@ -149,3 +149,30 @@ def test_pipeline_process_workers_match_thread_workers():
     for k in a["gts"]:
         np.testing.assert_array_equal(a["gts"][k], b["gts"][k])
     assert a["fnames"] == b["fnames"]
+
+
+def test_render_registration_result(tmp_path):
+    """Headless analog of the reference's open3d debug viewers (reference
+    common/numpy_utils.py:579-606): both cloud colors land in the render,
+    and the PNG round-trips."""
+    from efgh_tpu.utils.viz import (
+        _DBG_SRC_COLOR,
+        _DBG_TGT_COLOR,
+        render_registration_result,
+    )
+
+    r = np.random.default_rng(0)
+    src = r.standard_normal((3, 500)) * 5.0
+    tgt = src + np.array([8.0, 0.0, 0.0])[:, None]
+    path = str(tmp_path / "reg.png")
+    img = render_registration_result(src, tgt, size=256, path=path)
+    assert img.shape == (256, 256, 3) and img.dtype == np.uint8
+    flat = img.reshape(-1, 3)
+    assert (flat == np.array(_DBG_SRC_COLOR)).all(axis=1).any()
+    assert (flat == np.array(_DBG_TGT_COLOR)).all(axis=1).any()
+    from PIL import Image
+    assert Image.open(path).size == (256, 256)
+
+    single = render_registration_result(src, size=128)
+    assert (single.reshape(-1, 3) == np.array(_DBG_SRC_COLOR)).all(1).any()
+    assert not (single.reshape(-1, 3) == np.array(_DBG_TGT_COLOR)).all(1).any()
