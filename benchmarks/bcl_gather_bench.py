@@ -62,6 +62,12 @@ def main():
         rng.standard_normal((args.cap + 1, args.c)), jnp.bfloat16)
     splat = splat.at[0].set(0.0)
 
+    from efgh_tpu.ops.pallas_bcl import bcl_blur_fused_pallas
+
+    w_dim = 32  # scale-0 first blur conv width
+    kernel = jnp.asarray(
+        rng.standard_normal((f * args.c, w_dim)) * 0.05, jnp.bfloat16)
+
     # the chain scalar rides inside the jit (fresh buffer + data dependency
     # per call, zero eager tunnel ops in the timed loop — CLAUDE.md)
     def xla_path(s, prev):
@@ -75,10 +81,25 @@ def main():
                                         chunk_rows=args.chunk)
         return r, r[0, 0, 0]
 
+    # gather + first matmul (what the BCL blur actually computes) A/B
+    def xla_blur(s, prev):
+        s = s + prev * 0
+        g = bcl_gather_neighbors(s, bn).reshape(args.cap, f * args.c)
+        r = jnp.einsum("hc,cw->hw", g, kernel,
+                       preferred_element_type=jnp.float32)
+        return r, r[0, 0]
+
+    def pallas_blur(s, prev):
+        s = s + prev * 0
+        r = bcl_blur_fused_pallas(s, bn, kernel, tile=args.tile,
+                                  chunk_rows=args.chunk)
+        return r, r[0, 0]
+
     out = {"f": f, "h": args.cap, "c": args.c, "tile": args.tile,
            "chunk": args.chunk}
     ref_first = None
-    for name, path in (("xla", xla_path), ("pallas", pallas_path)):
+    for name, path in (("xla", xla_path), ("pallas", pallas_path),
+                       ("xla_blur", xla_blur), ("pallas_blur", pallas_blur)):
         fn = jax.jit(path)
         chain = jnp.bfloat16(0)
         t0 = time.time()
@@ -91,12 +112,21 @@ def main():
                   flush=True)
             continue
         compile_s = time.time() - t0
-        if name == "xla":
+        if name.startswith("xla"):
             ref_first = np.asarray(r)
-        else:
+        elif name == "pallas":
             match = bool((np.asarray(r) == ref_first).all())
             out["bit_match_first"] = match
             print(f"[bench] first-run bit match vs xla: {match}", flush=True)
+        else:  # fused blur: f32 reassociation tolerance, not bit-exact
+            got = np.asarray(r)
+            scale = float(np.abs(ref_first).max() or 1.0)
+            out["blur_max_abs_err"] = float(
+                np.abs(got - ref_first).max())
+            out["blur_match"] = bool(
+                out["blur_max_abs_err"] <= 1e-4 * scale)
+            print(f"[bench] fused blur max|err| {out['blur_max_abs_err']:.2e}"
+                  f" (match={out['blur_match']})", flush=True)
         dts = []
         for i in range(args.iters):
             t0 = time.time()
@@ -111,11 +141,12 @@ def main():
         print(f"[{name}] median {med*1e3:.2f} ms  (compile {compile_s:.0f}s)",
               flush=True)
 
-    if "median_ms" in out.get("xla", {}) and "median_ms" in out.get(
-            "pallas", {}):
-        out["speedup"] = round(
-            out["xla"]["median_ms"] / out["pallas"]["median_ms"], 2)
-        print(f"[bench] speedup: {out['speedup']}x", flush=True)
+    for a, b, key in (("xla", "pallas", "speedup"),
+                      ("xla_blur", "pallas_blur", "speedup_blur")):
+        if "median_ms" in out.get(a, {}) and "median_ms" in out.get(b, {}):
+            out[key] = round(
+                out[a]["median_ms"] / out[b]["median_ms"], 2)
+            print(f"[bench] {key}: {out[key]}x", flush=True)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bcl_gather_result.json")
     with open(path, "w") as fjson:

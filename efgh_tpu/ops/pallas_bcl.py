@@ -74,6 +74,95 @@ def _gather_kernel(idx_ref, chunk_ref, out_ref, *, s: int, f_dim: int):
                                           jnp.zeros_like(g))
 
 
+def _fused_kernel(idx_ref, chunk_ref, w_ref, out_ref, *, s: int, f_dim: int,
+                  c_dim: int):
+    """Gather + first blur matmul fused: out[T, W] += sum_f
+    gather_f(chunk)[T, C] @ w[f*C:(f+1)*C, W], f32 accumulation.
+
+    Fusing the contraction means the (H, F, C) gathered tensor never
+    exists in HBM at all — the blur's HBM traffic drops to the table
+    stream + the (H, W) result."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    rel = idx_ref[...] - c * s  # (T, F)
+    ok = (rel >= 0) & (rel < s)
+    tbl = chunk_ref[...]  # (S, C)
+    for f in range(f_dim):
+        ok_f = ok[:, f]
+
+        @pl.when(jnp.any(ok_f))
+        def _(f=f, ok_f=ok_f):
+            relc = jnp.where(ok_f, rel[:, f], 0)
+            g = jnp.take(tbl, relc, axis=0)  # (T, C)
+            g = jnp.where(ok_f[:, None], g, jnp.zeros_like(g))
+            w_f = w_ref[f * c_dim:(f + 1) * c_dim, :]  # (C, W)
+            out_ref[...] += jnp.dot(g, w_f,
+                                    preferred_element_type=jnp.float32)
+
+
+def bcl_blur_fused_pallas(
+    splat: jnp.ndarray,
+    blur_neighbors: jnp.ndarray,
+    kernel: jnp.ndarray,
+    *,
+    tile: int = 512,
+    chunk_rows: int = 4096,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused BLUR: gather + first conv contraction in one kernel.
+
+    Numerically equivalent (f32 accumulation, per-offset partial-sum order)
+    to `einsum("hfc,(fc)w->hw", splat[bn.T+1], kernel, preferred f32)` —
+    the first matmul of BilateralConvFlex (models/bcl.py; reference
+    nets/bilateralNN.py:233-246).  Not bit-identical: XLA's single dot
+    accumulates in a different order; tests bound the drift.
+
+    Args:
+      splat: (H+1, C) cell table (row 0 = zero row).
+      blur_neighbors: (F, H) int32, -1 where absent.
+      kernel: (F*C, W) first blur-conv weight.
+    Returns:
+      (H, W) float32 (caller adds bias / activation / downcast).
+    """
+    rows, c_dim = splat.shape
+    f_dim, h = blur_neighbors.shape
+    fc, w_dim = kernel.shape
+    assert fc == f_dim * c_dim, (kernel.shape, f_dim, c_dim)
+    s = chunk_rows
+    rows_p = _ceil_to(rows, s)
+    h_p = _ceil_to(h, tile)
+
+    table = splat
+    if rows_p != rows:
+        table = jnp.pad(table, ((0, rows_p - rows), (0, 0)))
+    idx = blur_neighbors.T + 1
+    if h_p != h:
+        idx = jnp.pad(idx, ((0, h_p - h), (0, 0)))
+
+    grid = (h_p // tile, rows_p // s)
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, s=s, f_dim=f_dim, c_dim=c_dim),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, f_dim), lambda t, c: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, c_dim), lambda t, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fc, w_dim), lambda t, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, w_dim), lambda t, c: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h_p, w_dim), jnp.float32),
+        interpret=interpret,
+    )(idx, table, kernel)
+    return out[:h]
+
+
 def bcl_gather_neighbors_pallas(
     splat: jnp.ndarray,
     blur_neighbors: jnp.ndarray,

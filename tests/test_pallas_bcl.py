@@ -109,3 +109,28 @@ def test_vmaps_over_batch():
     got = jax.vmap(lambda s_, n_: bcl_gather_neighbors_pallas(
         s_, n_, tile=256, chunk_rows=256, interpret=True))(splats, bns)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("dtype", [np.float32, "bfloat16"])
+def test_fused_blur_matches_gather_einsum(dtype):
+    """bcl_blur_fused_pallas == einsum over the gathered tensor (the first
+    matmul of BilateralConvFlex) within f32 reassociation tolerance."""
+    from efgh_tpu.ops.pallas_bcl import bcl_blur_fused_pallas
+
+    rng = np.random.default_rng(5)
+    h, f, c, cap, w = 1024, 15, 36, 1024, 32
+    dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    splat, bn = _synthetic(rng, h, f, c, cap, np.float32)
+    splat = jnp.asarray(splat, dt)
+    bn = jnp.asarray(bn)
+    kernel = jnp.asarray(rng.standard_normal((f * c, w)) * 0.05, dt)
+
+    gathered = bcl_gather_neighbors(splat, bn).reshape(h, f * c)
+    want = np.asarray(jnp.einsum("hc,cw->hw", gathered, kernel,
+                                 preferred_element_type=jnp.float32))
+    got = np.asarray(bcl_blur_fused_pallas(
+        splat, bn, kernel, tile=256, chunk_rows=512, interpret=True))
+    assert got.dtype == np.float32
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-5 * max(scale, 1.0),
+                               rtol=1e-5)
