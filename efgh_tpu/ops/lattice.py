@@ -390,21 +390,30 @@ def build_lattice_scale(
             sk, sid = jax.lax.sort((all_key, all_id), num_keys=2)
         is_cell = sid < capacity
 
-        # forward-fill the most recent cell's (key, id) over the sorted stream
-        carry_key = jnp.where(is_cell, sk, 0)
-        carry_id = jnp.where(is_cell, sid, -1)
-
-        def comb(a, b):
-            ak, ai = a
-            bk, bi = b
-            take_b = bi >= 0
-            return jnp.where(take_b, bk, ak), jnp.where(take_b, bi, ai)
-
-        f_key, f_id = jax.lax.associative_scan(comb, (carry_key, carry_id))
-        found = (
-            (~is_cell) & (f_id >= 0) & (f_key == sk) & (f_id < num_cells)
-        )
-        neighbor = jnp.where(found, f_id, -1)
+        # Match queries to cells WITHOUT the generic 2-carry forward-fill
+        # scan (its log-depth slice/concat stages were the profile's
+        # pad+slice block, ~20 ms/pair-2 — docs/PERFORMANCE.md):  equal
+        # keys are contiguous in the sorted stream and the cell (ids <
+        # capacity) sorts FIRST within its key group, so
+        #   * a query matches iff its own key group STARTS with a cell —
+        #     one cummax over a group-start marker that encodes
+        #     (position << 1) | is_cell recovers that bit for every
+        #     element; and
+        #   * the matched cell's id is simply (#cells so far) - 1, because
+        #     cell ids equal their key rank — one cumsum.
+        n_stream = sk.shape[0]
+        pos = jnp.arange(n_stream, dtype=jnp.int32)
+        group_start = jnp.concatenate(
+            [jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+        enc = jnp.where(group_start,
+                        (pos << 1) | is_cell.astype(jnp.int32),
+                        -1)
+        start_enc = jax.lax.cummax(enc)
+        group_has_cell = (start_enc & 1) == 1
+        cell_rank = jnp.cumsum(is_cell.astype(jnp.int32)) - 1
+        found = ((~is_cell) & group_has_cell & (cell_rank >= 0)
+                 & (cell_rank < num_cells))
+        neighbor = jnp.where(found, cell_rank, -1)
         out_idx = jnp.where(~is_cell, sid - capacity, fq * capacity)
         blur_flat = jnp.full((fq * capacity,), -1, jnp.int32).at[out_idx].set(
             neighbor, mode="drop"
