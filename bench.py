@@ -178,7 +178,24 @@ def main():
             def fwd(v, pc, img, calib, A, prev):
                 return net_fn(v, pc, img, calib, A, pyr_fn(pc), prev)
 
-            if os.environ.get("EFGH_BENCH_VERBOSE"):
+            split_merge = os.environ.get("EFGH_BENCH_SPLIT_MERGE")
+            if split_merge:
+                # ship the Pallas merge for the PYRAMID executable alone:
+                # the backend is read at trace time, so trace pyr_fn now
+                # under the requested backend, then restore for net_fn
+                # (which takes the pyramid as an input and contains no
+                # merge).  This is the executable-size exploit from the
+                # round-3 verdict: the small pyramid executable may execute
+                # Pallas reliably where the fused full forward does not
+                # (bisect evidence: benchmarks/pallas_bisect.py).
+                set_merge_backend(split_merge)
+                t_p = time.time()
+                jax.block_until_ready(pyr_fn(variants[0][0]))
+                set_merge_backend(merge or "sort")
+                print(f"[bench] pyramid stage traced with merge="
+                      f"{split_merge} ({time.time() - t_p:.0f}s)",
+                      file=sys.stderr, flush=True)
+            elif os.environ.get("EFGH_BENCH_VERBOSE"):
                 t_p = time.time()
                 jax.block_until_ready(pyr_fn(variants[0][0]))
                 print(f"[bench] pyramid-stage compile "
