@@ -136,13 +136,18 @@ class Config:
     # on/off are booleans).  Process-global; must be set before the model
     # is traced.
     pallas_merge: str = "auto"
+    # BCL blur-gather backend (ops/pallas_bcl.py): "off" = XLA random-row
+    # gather (always correct, ~90 MB/s on TPU), "auto" = probe the Pallas
+    # VMEM-streaming kernel per host (bit-exact repeated-execution
+    # self-test, ops/bcl_probe.py) and enable it if it survives, "on" =
+    # force it.  Default off until the kernel has device mileage; quote
+    # the value in YAML.  Process-global; set before tracing.
+    pallas_bcl: str = "off"
     # batch axis strategy for the lattice pyramid build: "vmap" (vectorized;
     # XLA compile explodes at batch >= 8), "map" (lax.map: body compiled
-    # once, bounded compile), "auto" = vmap below GLOBAL batch 8, map at or
-    # above.  Default vmap: auto keys on the traced (global) batch, so under
-    # a data-parallel mesh it would scan across the sharded axis — only opt
-    # into auto/map for single-chip large-batch runs.  docs/PERFORMANCE.md
-    # "Batch-8 compile blowup".
+    # once, bounded compile), "auto" = vmap below a PER-DEVICE batch of 8
+    # (global batch / mesh_data), map at or above.
+    # docs/PERFORMANCE.md "Batch-8 compile blowup".
     pyramid_batching: str = "vmap"
     # rematerialize the conv towers' activations in backward: the HBM
     # fix for batch>=2 training at production shapes

@@ -44,4 +44,23 @@ def build_model(cfg):
     # resolve "auto" eagerly (probe on TPU hosts) so the choice is pinned
     # before any tracing, not mid-trace
     _merge_backend()
+
+    # same dance for the BCL blur-gather kernel (default off)
+    from efgh_tpu.ops.lattice import set_bcl_gather_backend
+
+    raw_bcl = cfg.get("pallas_bcl", "off")
+    if raw_bcl is True:
+        raw_bcl = "on"
+    elif raw_bcl is False:
+        raw_bcl = "off"
+    if raw_bcl == "auto":
+        from efgh_tpu.ops.bcl_probe import resolve_bcl_auto_backend
+
+        set_bcl_gather_backend(resolve_bcl_auto_backend())
+    elif raw_bcl in ("on", "off"):
+        set_bcl_gather_backend("pallas" if raw_bcl == "on" else "xla")
+    else:
+        raise ValueError(
+            f"pallas_bcl must be auto|on|off (got {raw_bcl!r}); quote the "
+            "value in YAML — bare on/off parse as booleans")
     return MODELS[cfg.arch].from_config(cfg)

@@ -134,3 +134,25 @@ def test_fused_blur_matches_gather_einsum(dtype):
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=2e-5 * max(scale, 1.0),
                                rtol=1e-5)
+
+
+def test_pallas_bcl_config_knob():
+    """build_model resolves the pallas_bcl knob like pallas_merge: off/on
+    set the backend, bad values raise, CPU auto resolves to xla."""
+    from efgh_tpu.config import Config
+    from efgh_tpu.models import build_model
+    from efgh_tpu.ops import lattice
+
+    base = {"raw_cam_img_size": [64, 128], "num_points": 256,
+            "lattice_capacity": [1024, 1024, 512, 256, 128]}
+    try:
+        build_model(Config.from_dict({**base, "pallas_bcl": "on"}))
+        assert lattice._BCL_GATHER_BACKEND == "pallas"
+        build_model(Config.from_dict({**base, "pallas_bcl": "auto"}))
+        assert lattice._BCL_GATHER_BACKEND == "xla"  # CPU: no probe
+        build_model(Config.from_dict({**base, "pallas_bcl": "off"}))
+        assert lattice._BCL_GATHER_BACKEND == "xla"
+        with pytest.raises(ValueError):
+            build_model(Config.from_dict({**base, "pallas_bcl": "nope"}))
+    finally:
+        lattice.set_bcl_gather_backend("xla")
