@@ -152,6 +152,14 @@ class Config:
     # rematerialize the conv towers' activations in backward: the HBM
     # fix for batch>=2 training at production shapes
     remat: bool = False
+    # split-executable forward for train()/test(): the lattice pyramid
+    # compiles + executes as its own jit and the towers consume it as an
+    # input.  Bounds the batch>=8 fused-compile blowup for training and
+    # lets hosts whose transport only runs small Pallas executables
+    # reliably combine pallas_merge with the drivers (bisect evidence:
+    # benchmarks/pallas_bisect.py).  Output is bit-identical to the fused
+    # forward (same build ops/backends, tests/test_train.py).
+    split_forward: bool = False
     # test-mode: re-estimate BN running stats over N train batches first
     bn_recalibrate: int = 0
     # host-RSS watchdog (GB, 0 = off): some remote-device transports leak

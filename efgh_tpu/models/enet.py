@@ -32,6 +32,26 @@ from efgh_tpu.models.layers import (
 from efgh_tpu.ops.lattice import LatticeScale, build_lattice_pyramid, filter_size
 
 
+def batched_pyramid(pc: jnp.ndarray, scale_map, capacities,
+                    pyramid_batching: str = "vmap",
+                    mesh_devices: int = 1) -> List[LatticeScale]:
+    """Batched lattice pyramid build, shared by Enet's in-forward path and
+    the split-executable drivers (cfg.split_forward; bench split mode)."""
+    sm = tuple((float(s), int(r)) for s, r in scale_map)
+    caps = tuple(int(c) for c in capacities)
+    one = lambda p: build_lattice_pyramid(p, sm, caps)
+    mode = pyramid_batching
+    if mode == "auto":
+        per_dev = max(1, pc.shape[0] // max(1, mesh_devices))
+        mode = "map" if per_dev >= 8 else "vmap"
+    if mode == "map":
+        return jax.lax.map(one, pc)
+    if mode != "vmap":
+        raise ValueError(
+            f"pyramid_batching must be auto|vmap|map (got {mode!r})")
+    return jax.vmap(one)(pc)
+
+
 class Enet(nn.Module):
     """Attributes mirror the reference config (reference nets/enet.py:14-101)."""
 
@@ -62,19 +82,8 @@ class Enet(nn.Module):
 
     def build_pyramid(self, pc: jnp.ndarray) -> List[LatticeScale]:
         """(B, 3, N) -> batched lattice pyramid (on-device build)."""
-        scale_map = tuple((float(s), int(r)) for s, r in self.scale_map)
-        caps = tuple(int(c) for c in self.capacities)
-        one = lambda p: build_lattice_pyramid(p, scale_map, caps)
-        mode = self.pyramid_batching
-        if mode == "auto":
-            per_dev = max(1, pc.shape[0] // max(1, self.mesh_devices))
-            mode = "map" if per_dev >= 8 else "vmap"
-        if mode == "map":
-            return jax.lax.map(one, pc)
-        if mode != "vmap":
-            raise ValueError(
-                f"pyramid_batching must be auto|vmap|map (got {mode!r})")
-        return jax.vmap(one)(pc)
+        return batched_pyramid(pc, self.scale_map, self.capacities,
+                               self.pyramid_batching, self.mesh_devices)
 
     @nn.compact
     def __call__(

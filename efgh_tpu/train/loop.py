@@ -35,6 +35,7 @@ def make_train_step(model, criterion: EFGHCriterion,
             pred, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["pc"], batch["img"], batch["calib"], batch["A"],
+                pyramid=batch.get("pyramid"),
                 train=True, mutable=["batch_stats"],
             )
             losses, gt = criterion.compute_loss(batch["pc"], batch["gts"], pred)
@@ -83,12 +84,14 @@ def make_eval_step(model, criterion: Optional[EFGHCriterion] = None,
             pred, _ = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 batch["pc"], batch["img"], batch["calib"], batch["A"],
+                pyramid=batch.get("pyramid"),
                 train=True, mutable=["batch_stats"],
             )
         else:
             pred = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 batch["pc"], batch["img"], batch["calib"], batch["A"],
+                pyramid=batch.get("pyramid"),
                 train=False,
             )
         out = {"pred_s2s1": pred["sensor2_T_sensor1"],
@@ -109,14 +112,34 @@ def make_eval_step(model, criterion: Optional[EFGHCriterion] = None,
     return jax.jit(eval_step)
 
 
-def _device_batch(batch, mesh):
+def _device_batch(batch, mesh, pyr_fn=None):
     db = {k: batch[k] for k in ("pc", "img", "calib", "A")}
     db["gts"] = batch["gts"]
-    return shard_batch(db, mesh)
+    db = shard_batch(db, mesh)
+    if pyr_fn is not None:
+        # split-executable forward (cfg.split_forward): the lattice pyramid
+        # compiles and executes separately from the towers.  Bounds the
+        # batch>=8 fused-compile blowup for TRAINING (docs/PERFORMANCE.md)
+        # and lets a host whose transport only executes small
+        # Pallas-containing executables reliably ship the Pallas merge for
+        # the pyramid stage alone (benchmarks/pallas_bisect.py evidence).
+        db["pyramid"] = pyr_fn(db["pc"])
+    return db
+
+
+def make_pyramid_fn(cfg: Config, mesh):
+    """Jitted standalone pyramid builder matching the model's in-forward
+    build (same scale_map/capacities/batching => bit-identical lattice)."""
+    from efgh_tpu.models.enet import batched_pyramid
+
+    return jax.jit(lambda pc: batched_pyramid(
+        pc, tuple(tuple(s) for s in cfg.scale_map),
+        tuple(cfg.lattice_capacity),
+        str(cfg.get("pyramid_batching", "vmap")), mesh.size))
 
 
 def validate(pipeline, state, eval_step, mesh, dataset_name: str,
-             loss_names) -> Dict:
+             loss_names, pyr_fn=None) -> Dict:
     """No-grad pass accumulating losses + errors (reference valid.py:13-68).
     Keeps the last batch/output pair for image-panel summaries (the reference
     logs panels from the last val batch, reference valid.py:56)."""
@@ -124,7 +147,8 @@ def validate(pipeline, state, eval_step, mesh, dataset_name: str,
     err = Err(dataset_name)
     last = (None, None)
     for batch in pipeline:
-        out = jax.device_get(eval_step(state, _device_batch(batch, mesh)))
+        out = jax.device_get(
+            eval_step(state, _device_batch(batch, mesh, pyr_fn)))
         bsz = batch["pc"].shape[0]
         lss.update(out["losses"], bsz)
         err.update_batch(np.asarray(out["gt_s2s1"]),
@@ -247,6 +271,7 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
     mesh = create_mesh(cfg.mesh_data)
     criterion = EFGHCriterion(cfg)
     tx = create_optimizer(cfg)
+    pyr_fn = make_pyramid_fn(cfg, mesh) if cfg.get("split_forward") else None
 
     train_pipe = _pipeline(cfg, train_ds, shuffle=True)
     val_pipe = _pipeline(cfg, val_ds, shuffle=False)
@@ -318,7 +343,8 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
                 break
             if tracer is not None:
                 tracer.step(it)
-            state, out = train_step(state, _device_batch(batch, mesh))
+            state, out = train_step(state,
+                                    _device_batch(batch, mesh, pyr_fn))
             bsz = batch["pc"].shape[0]
             out = jax.device_get(out)  # one transfer for all step metrics
             lss.update(out["losses"], bsz)
@@ -339,11 +365,11 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
                     # (reference iterater.py:48-51 -> helper.py:11-26); the
                     # train step doesn't carry panels, so render them from an
                     # eval-step pass on the current batch
-                    tb = _device_batch(batch, mesh)
+                    tb = _device_batch(batch, mesh, pyr_fn)
                     tout = jax.device_get(eval_step(state, tb))
                     summarize_panels(summary, "train", it, batch, tout, cfg)
                 val = validate(val_pipe, state, eval_step, mesh, cfg.dataset,
-                               criterion.loss_name)
+                               criterion.loss_name, pyr_fn)
                 if summary is not None:
                     _summarize_val(summary, it, val)
                     vb, vo = val["last"]
@@ -475,6 +501,7 @@ def test(cfg: Config, model, test_ds, state=None):
                                with_panels=bool(cfg.save_image),
                                bn_mode=bn_mode)
 
+    pyr_fn = make_pyramid_fn(cfg, mesh) if cfg.get("split_forward") else None
     pipe = _pipeline(cfg, test_ds, shuffle=False, drop_last=False)
     if state is None:
         rng = jax.random.PRNGKey(0)
@@ -556,7 +583,7 @@ def test(cfg: Config, model, test_ds, state=None):
             # drop_last=False: pad a partial last batch to batch_size (mesh
             # divisibility) and mask the padded rows out of metrics/CSV
             batch, n_real = _pad_eval_batch(batch, cfg.batch_size)
-            out = eval_step(state, _device_batch(batch, mesh))
+            out = eval_step(state, _device_batch(batch, mesh, pyr_fn))
             pred = np.asarray(out["pred_s2s1"])[:n_real]
             gt = np.asarray(batch["gts"]["sensor2_T_sensor1"])[:n_real]
             err.update_batch(gt, pred)

@@ -558,3 +558,36 @@ def test_lr_scale_keys_scales_updates_per_branch():
     assert jax.tree_util.tree_structure(tx0.init(params)) == \
         jax.tree_util.tree_structure(
             optax.adam(learning_rate=lambda s: 1e-4).init(params))
+
+
+def test_split_forward_matches_fused(tmp_path, setup):
+    """cfg.split_forward builds the pyramid in its own executable; eval
+    outputs must match the fused forward bit-for-bit (same ops, same
+    backend, just a different executable boundary)."""
+    from efgh_tpu.train.loop import make_eval_step, make_pyramid_fn
+
+    cfg, model, ds, mesh, batch, state = setup
+    eval_step = make_eval_step(model, criterion=None, with_loss=False)
+    fused = eval_step(state, _device_batch(batch, mesh))
+    pyr_fn = make_pyramid_fn(cfg, mesh)
+    split = eval_step(state, _device_batch(batch, mesh, pyr_fn))
+    np.testing.assert_array_equal(np.asarray(fused["pred_s2s1"]),
+                                  np.asarray(split["pred_s2s1"]))
+    np.testing.assert_array_equal(np.asarray(fused["cam_T_velo"]),
+                                  np.asarray(split["cam_T_velo"]))
+
+
+def test_split_forward_training_smoke(tmp_path, setup):
+    """train() with split_forward: true runs end-to-end on the 2-device
+    mesh (pyramid executable + towers executable) and checkpoints."""
+    import dataclasses
+
+    from efgh_tpu.train.loop import train
+
+    cfg0, model, ds, mesh, batch, _ = setup
+    cfg = dataclasses.replace(cfg0, epochs=1, split_forward=True,
+                              ckpt_dir=str(tmp_path / "sf"), log_every=1,
+                              rss_limit_gb=0.0)
+    state = train(cfg, model, ds, ds)
+    assert int(state.step) == 2  # 4 samples / batch 2 = 2 iters
+    assert (tmp_path / "sf" / "checkpoint").is_dir()
