@@ -378,9 +378,11 @@ def test_first_val_after_pretrained_only_start_not_crowned(tmp_path, setup):
 
     from efgh_tpu.train.loop import train
 
-    cfg0, model, ds, mesh, batch, state0 = setup
-    # export an npz snapshot of the fixture state (scripts/export_weights
+    cfg0, model, ds, mesh, batch, _ = setup
+    # fresh state (the module fixture's buffers get donated by the
+    # train-step test); export an npz snapshot of it (export_weights
     # layout: flat params/... + batch_stats/... arrays)
+    state0 = create_state(model, cfg0, batch, jax.random.PRNGKey(3))
     flat = {}
     for tree_name, tree in (("params", jax.device_get(state0.params)),
                             ("batch_stats",
@@ -409,7 +411,10 @@ def test_partial_last_batch_padded(tmp_path, setup):
     (round-3 VERDICT weak #6)."""
     from efgh_tpu.train import test as run_test
 
-    cfg0, model, _, mesh, batch, state = setup
+    cfg0, model, _, mesh, batch, _ = setup
+    # fresh state: the fixture's was donated by the train-step test
+    state = replicate(create_state(model, cfg0, batch, jax.random.PRNGKey(4)),
+                      mesh)
     ds3 = SyntheticDataset(num_samples=3, num_points=cfg0.num_points,
                            raw_cam_img_size=RAW)
     os.chdir(tmp_path)
@@ -566,7 +571,10 @@ def test_split_forward_matches_fused(tmp_path, setup):
     backend, just a different executable boundary)."""
     from efgh_tpu.train.loop import make_eval_step, make_pyramid_fn
 
-    cfg, model, ds, mesh, batch, state = setup
+    cfg, model, ds, mesh, batch, _ = setup
+    # fresh state: the fixture's was donated by the train-step test
+    state = replicate(create_state(model, cfg, batch, jax.random.PRNGKey(5)),
+                      mesh)
     eval_step = make_eval_step(model, criterion=None, with_loss=False)
     fused = eval_step(state, _device_batch(batch, mesh))
     pyr_fn = make_pyramid_fn(cfg, mesh)
