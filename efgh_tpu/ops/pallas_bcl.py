@@ -47,7 +47,22 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _gather_kernel(idx_ref, chunk_ref, out_ref, *, s: int, f_dim: int):
+def _select_rows(rel_f, tbl, tile: int, s: int):
+    """(T,) relative indices -> (T, C) f32 selected rows via a one-hot MXU
+    matmul.  Mosaic's `tpu.dynamic_gather` cannot cross vregs along the
+    gather dimension (verified on this toolchain: "Not implemented:
+    Multiple source vregs along gather dimension"), so the selection runs
+    as (rel == iota) @ chunk instead — BIT-exact even for bf16 tables
+    (0*x = 0 and 1*x = x exactly; each output row sums one nonzero term),
+    and out-of-window rows (rel outside [0, S)) select nothing -> exact
+    zeros, which is what the cross-chunk accumulation needs."""
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (tile, s), 1)
+    onehot = (rel_f[:, None] == iota_s).astype(tbl.dtype)  # (T, S)
+    return jnp.dot(onehot, tbl, preferred_element_type=jnp.float32)
+
+
+def _gather_kernel(idx_ref, chunk_ref, out_ref, *, s: int, f_dim: int,
+                   tile: int):
     """One (cell-tile, table-chunk) program.
 
     idx_ref: (T, F) int32 — +1-shifted neighbor ids of this cell tile.
@@ -67,17 +82,15 @@ def _gather_kernel(idx_ref, chunk_ref, out_ref, *, s: int, f_dim: int):
         ok_f = ok[:, f]
 
         @pl.when(jnp.any(ok_f))
-        def _(f=f, ok_f=ok_f):
-            relc = jnp.where(ok_f, rel[:, f], 0)  # (T,)
-            g = jnp.take(tbl, relc, axis=0)  # (T, C)
-            out_ref[:, f, :] += jnp.where(ok_f[:, None], g,
-                                          jnp.zeros_like(g))
+        def _(f=f):
+            g = _select_rows(rel[:, f], tbl, tile, s)  # (T, C) f32
+            out_ref[:, f, :] += g.astype(out_ref.dtype)
 
 
 def _fused_kernel(idx_ref, chunk_ref, w_ref, out_ref, *, s: int, f_dim: int,
-                  c_dim: int):
+                  c_dim: int, tile: int):
     """Gather + first blur matmul fused: out[T, W] += sum_f
-    gather_f(chunk)[T, C] @ w[f*C:(f+1)*C, W], f32 accumulation.
+    select_f(chunk)[T, C] @ w[f*C:(f+1)*C, W], f32 accumulation.
 
     Fusing the contraction means the (H, F, C) gathered tensor never
     exists in HBM at all — the blur's HBM traffic drops to the table
@@ -95,12 +108,10 @@ def _fused_kernel(idx_ref, chunk_ref, w_ref, out_ref, *, s: int, f_dim: int,
         ok_f = ok[:, f]
 
         @pl.when(jnp.any(ok_f))
-        def _(f=f, ok_f=ok_f):
-            relc = jnp.where(ok_f, rel[:, f], 0)
-            g = jnp.take(tbl, relc, axis=0)  # (T, C)
-            g = jnp.where(ok_f[:, None], g, jnp.zeros_like(g))
+        def _(f=f):
+            g = _select_rows(rel[:, f], tbl, tile, s)  # (T, C) f32
             w_f = w_ref[f * c_dim:(f + 1) * c_dim, :]  # (C, W)
-            out_ref[...] += jnp.dot(g, w_f,
+            out_ref[...] += jnp.dot(g.astype(w_f.dtype), w_f,
                                     preferred_element_type=jnp.float32)
 
 
@@ -145,7 +156,8 @@ def bcl_blur_fused_pallas(
 
     grid = (h_p // tile, rows_p // s)
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, s=s, f_dim=f_dim, c_dim=c_dim),
+        functools.partial(_fused_kernel, s=s, f_dim=f_dim, c_dim=c_dim,
+                          tile=tile),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, f_dim), lambda t, c: (t, 0),
@@ -197,7 +209,7 @@ def bcl_gather_neighbors_pallas(
 
     grid = (h_p // tile, rows_p // s)
     out = pl.pallas_call(
-        functools.partial(_gather_kernel, s=s, f_dim=f_dim),
+        functools.partial(_gather_kernel, s=s, f_dim=f_dim, tile=tile),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, f_dim), lambda t, c: (t, 0),
