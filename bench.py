@@ -87,16 +87,17 @@ def main():
     from efgh_tpu.ops.lattice import set_merge_backend
 
     if merge:
-        # NOTE: pallas timings through this host's tunnel are NOT
-        # trustworthy — repeated executions return stale results (CLAUDE.md)
         set_merge_backend(merge)
     else:
-        # like train()/test(), force lax.sort under auto: the merge probe
-        # passing is NOT sufficient on tunnel transports (a later host
-        # rebuild turned the previously-reliable Pallas bench loop into a
-        # stale-result generator reporting 2000+ "pairs/s").  Healthy
-        # directly-attached hosts opt in with EFGH_BENCH_MERGE=pallas.
-        set_merge_backend("sort")
+        # probe-resolved auto.  History: round 2-3 observed stale results /
+        # client panics on REPEATED Pallas executions through one tunnel
+        # host, so bench forced lax.sort.  Round 4's executable-size bisect
+        # (benchmarks/pallas_bisect.py) re-ran every stage up to the FULL
+        # forward 4x on chained inputs against the sort build — all
+        # bit-exact on the current host — so auto (probe + cached verdict)
+        # is the default again.  The implausible-rate guard below still
+        # refuses stale-result garbage if a future transport regresses.
+        set_merge_backend(None)
     # device-resident inputs: the bench measures chip throughput; the input
     # pipeline overlaps transfers in training/serving (and this host's
     # tunnel link is far slower than any production interconnect).

@@ -158,7 +158,11 @@ def main():
         try:
             for backend in ("sort", "pallas"):
                 set_merge_backend(backend)
-                fn = jax.jit(body)
+                # fresh closure per backend: jax's trace cache is keyed on
+                # the function object, so jitting the SAME body twice would
+                # silently reuse the first backend's jaxpr (the merge
+                # backend is read at trace time)
+                fn = jax.jit(lambda pc_, prev, _b=body: _b(pc_, prev))
                 seq = []
                 prev = 0.0
                 for r in range(args.runs):
