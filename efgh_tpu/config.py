@@ -73,6 +73,18 @@ class Config:
     )
     fov_pos_num: int = 30
     fov_neg_ratio: int = 5
+    # per-axis weights on the g_trs smooth-L1, lidar frame [x fwd, y left,
+    # z up]; normalized to mean 1 inside the criterion so lambda.g_trs
+    # keeps its meaning.  No reference equivalent (the reference's
+    # smooth_l1_loss weights axes equally, losses/loss_utils.py:181);
+    # opt-in lever for the measured t_y signal starvation — the lateral
+    # axis only appears as a positional (not value) cue in G's fusion
+    # input and stayed at zero regression slope through 9k iters of equal
+    # weighting (docs/ACCURACY.md).  Default [1,1,1] = reference
+    # semantics.
+    g_trs_axis_weights: List[float] = dataclasses.field(
+        default_factory=lambda: [1.0, 1.0, 1.0]
+    )
 
     # ---- training ----
     weight_decay: float = 0.0

@@ -86,6 +86,13 @@ class EFGHCriterion:
         self.lambda_sgn = 1.0
         self.fov_pos_num = int(cfg["fov_pos_num"])
         self.fov_neg_ratio = int(cfg["fov_neg_ratio"])
+        # per-axis g_trs weights, normalized to mean 1 (config
+        # g_trs_axis_weights; [1,1,1] reproduces the reference's
+        # axis-uniform smooth_l1_loss, losses/loss_utils.py:181)
+        w = [float(v) for v in
+             (cfg.get("g_trs_axis_weights", None) or [1.0, 1.0, 1.0])]
+        s = sum(w)
+        self.g_trs_axis_w = tuple(v * len(w) / s for v in w)
         self.raw_cam_img_size = tuple(cfg["raw_cam_img_size"])
         self.projection_mode = getattr(cfg, "projection_mode", "near")
         self.loss_name = [
@@ -224,7 +231,12 @@ class EFGHCriterion:
         gt["g_mask"] = (gt_depth > 0).astype(jnp.float32)
         valid = (gt_depth > 0) & (gt["img_mask"][:, :1] > 0)
 
-        loss_trs = smooth_l1(gt["g_trs"], pred["g_trs"])
+        # axis-weighted smooth-L1 (== smooth_l1 at the default [1,1,1]
+        # weights; see g_trs_axis_weights in config.py)
+        d = jnp.abs(gt["g_trs"] - pred["g_trs"])
+        elem = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+        axis_w = jnp.asarray(self.g_trs_axis_w)[None, :, None]
+        loss_trs = jnp.mean(elem * axis_w)
 
         diff = (gt_depth - pred["g_depth"]) * valid
         loss_depth = jnp.sum(diff * diff) / jnp.maximum(jnp.sum(valid), 1.0)

@@ -143,3 +143,45 @@ def test_gloss_perfect_prediction_zero(rng):
     losses2, _ = crit.compute_loss(pc, gt, pred2)
     assert float(losses2["g_trs"]) < 1e-6
     assert float(losses2["g_depth"]) < 1e-6
+
+
+def test_g_trs_axis_weights(rng):
+    """g_trs_axis_weights: [1,1,1] reproduces the unweighted reference
+    smooth-L1; upweighting one axis scales that axis's contribution while
+    the mean-1 normalization preserves the loss scale for equal errors."""
+    gt, pred, pc = _gt_pred(rng, b=2)
+    base = EFGHCriterion(_cfg())
+    losses_base, gt2 = base.compute_loss(pc, gt, pred)
+
+    cfg_w = Config.from_dict(
+        {"raw_cam_img_size": list(RAW),
+         "g_trs_axis_weights": [1.0, 1.0, 1.0]}
+    )
+    losses_eq, _ = EFGHCriterion(cfg_w).compute_loss(pc, gt, pred)
+    np.testing.assert_allclose(
+        float(losses_eq["g_trs"]), float(losses_base["g_trs"]), rtol=1e-6
+    )
+
+    # pure y-error: with weights [1,4,1] (mean 2 -> normalized [0.5,2,0.5])
+    # the y-axis smooth-L1 contribution doubles
+    pred_y = dict(pred)
+    pred_y["g_trs"] = gt2["g_trs"] + jnp.asarray(
+        np.array([0.0, 2.0, 0.0], np.float32)[None, :, None]
+    )
+    l_unw, _ = base.compute_loss(pc, gt, pred_y)
+    cfg_y = Config.from_dict(
+        {"raw_cam_img_size": list(RAW), "g_trs_axis_weights": [1.0, 4.0, 1.0]}
+    )
+    l_w, _ = EFGHCriterion(cfg_y).compute_loss(pc, gt, pred_y)
+    np.testing.assert_allclose(
+        float(l_w["g_trs"]), 2.0 * float(l_unw["g_trs"]), rtol=1e-5
+    )
+
+    # equal per-axis errors: normalization keeps the total invariant
+    pred_e = dict(pred)
+    pred_e["g_trs"] = gt2["g_trs"] + 0.5
+    l_e_unw, _ = base.compute_loss(pc, gt, pred_e)
+    l_e_w, _ = EFGHCriterion(cfg_y).compute_loss(pc, gt, pred_e)
+    np.testing.assert_allclose(
+        float(l_e_w["g_trs"]), float(l_e_unw["g_trs"]), rtol=1e-5
+    )
