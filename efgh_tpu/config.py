@@ -85,6 +85,18 @@ class Config:
     g_trs_axis_weights: List[float] = dataclasses.field(
         default_factory=lambda: [1.0, 1.0, 1.0]
     )
+    # append normalized (u, v) pixel-coordinate channels to G's sparse-depth
+    # fusion input (CoordConv).  No reference equivalent (reference
+    # nets/gnet.py:142-166 fuses image features with the 4-channel projected
+    # cloud only).  Motivation: the t_y residual is, to first order,
+    # py - (u - cx)*w/fx — the projected point's LiDAR-frame lateral value
+    # (py, a channel) against its pixel COLUMN (u, positional only); the
+    # trs head mean-pools over space, so without an explicit u channel the
+    # trunk cannot form the u*w product the residual needs, and t_y stayed
+    # at zero regression slope through >12k iters while t_x/t_z converged
+    # (docs/ACCURACY.md).  Old 4-channel snapshots load by zero-padding the
+    # conv_d1 kernel (exactly the knob-off function at load time).
+    g_coord_channels: bool = False
 
     # ---- training ----
     weight_decay: float = 0.0

@@ -31,6 +31,7 @@ class EFGHBackbone(nn.Module):
     remat: bool = False
     pyramid_batching: str = "vmap"
     mesh_devices: int = 1
+    g_coord_channels: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config) -> "EFGHBackbone":
@@ -56,6 +57,7 @@ class EFGHBackbone(nn.Module):
             projection_mode=cfg.projection_mode,
             compute_dtype=dtype,
             remat=bool(cfg.get("remat", False)),
+            g_coord_channels=bool(cfg.get("g_coord_channels", False)),
         )
 
     @nn.compact
@@ -119,6 +121,7 @@ class EFGHBackbone(nn.Module):
             projection_mode=self.projection_mode,
             compute_dtype=self.compute_dtype,
             remat=self.remat,
+            coord_channels=self.g_coord_channels,
             name="G",
         )(pc, img, ret, train=train)
         ret["efgh_cam_T_velo"] = compute_cam_T_velo(

@@ -31,6 +31,11 @@ class Gnet(nn.Module):
     projection_mode: str = "near"
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # CoordConv channels on the fusion input (config.py g_coord_channels):
+    # the t_y residual ~ py - (u - cx)*w/fx needs the pixel column u as a
+    # VALUE next to the projected point's (py, w) values; without it the
+    # mean-pooled trs head has no lateral cue (docs/ACCURACY.md).
+    coord_channels: bool = False
 
     @nn.compact
     def __call__(self, pc: jnp.ndarray, img: jnp.ndarray, ret: dict,
@@ -75,6 +80,23 @@ class Gnet(nn.Module):
             )
         )(pc, jax.lax.stop_gradient(ret["efh_cam_T_velo"]))  # (B, 4, H, W)
         f_depth = jnp.transpose(f_depth, (0, 2, 3, 1)).astype(self.compute_dtype)
+        if self.coord_channels:
+            # normalized pixel-center coordinates in (-0.5, 0.5); appended
+            # AFTER the reference's 4 (px, py, pz, w) channels so 4-channel
+            # snapshots load by zero-padding conv_d1's kernel (loop.py
+            # load_pretrained) — bit-identical to the knob-off model until
+            # the padded weights train away from zero.
+            b_, hh, ww = f_depth.shape[0], f_depth.shape[1], f_depth.shape[2]
+            uu = (jnp.arange(ww, dtype=jnp.float32) + 0.5) / ww - 0.5
+            vv = (jnp.arange(hh, dtype=jnp.float32) + 0.5) / hh - 0.5
+            grid = jnp.stack(
+                [jnp.broadcast_to(uu[None, :], (hh, ww)),
+                 jnp.broadcast_to(vv[:, None], (hh, ww))], axis=-1
+            ).astype(self.compute_dtype)
+            f_depth = jnp.concatenate(
+                [f_depth, jnp.broadcast_to(grid[None], (b_, hh, ww, 2))],
+                axis=-1,
+            )
 
         # ---- fusion branch (reference nets/gnet.py:142-166) ----
         ci = ConvBNRelu(32, (1, 1), (1, 1), (0, 0), name="conv_i1")(d2, train)

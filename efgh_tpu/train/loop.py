@@ -457,14 +457,30 @@ def load_pretrained(path: str, state: TrainState, cfg: Config) -> TrainState:
         params = _unflat(trees["params"])
         batch_stats = _unflat(trees["batch_stats"])
         # structural check against the fresh-init trees: a wrong-arch
-        # snapshot should fail loudly here, not at apply time
-        def _check(t, v):
+        # snapshot should fail loudly here, not at apply time.  One sanctioned
+        # migration: with g_coord_channels on, a pre-knob 4-channel snapshot's
+        # G/conv_d1 kernel is zero-padded along the input-channel axis — the
+        # padded model computes EXACTLY the knob-off function at load time
+        # (config.py g_coord_channels).
+        coord_pad = bool(cfg.get("g_coord_channels", False))
+
+        def _check(path, t, v):
             if t.shape != v.shape:
-                raise ValueError(f"snapshot shape {v.shape} != {t.shape}")
+                names = [str(getattr(k, "key", k)) for k in path]
+                if (coord_pad and "conv_d1" in names and v.ndim == 4
+                        and t.shape[:2] + t.shape[3:] == v.shape[:2] + v.shape[3:]
+                        and t.shape[2] > v.shape[2]):
+                    pad = [(0, 0)] * 4
+                    pad[2] = (0, t.shape[2] - v.shape[2])
+                    print(f"=> zero-padding {'/'.join(names)} "
+                          f"{v.shape} -> {t.shape} (g_coord_channels)")
+                    return _np.pad(v, pad)
+                raise ValueError(
+                    f"snapshot shape {v.shape} != {t.shape} at {names}")
             return v
 
-        params = jax.tree_util.tree_map(_check, jax.device_get(state.params),
-                                        params)
+        params = jax.tree_util.tree_map_with_path(
+            _check, jax.device_get(state.params), params)
         return _dc.replace(state, params=params, batch_stats=batch_stats)
     # orbax checkpoint: the saved opt_state was written with the PLAIN
     # optimizer (no grad_false_keys wrapping — the source run trained all

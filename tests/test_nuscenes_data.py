@@ -3,6 +3,13 @@
 The nuscenes-devkit isn't installed here; a stub NuScenes with a tiny
 in-memory record graph exercises the scene walk, nearby-camera search,
 ego-point removal, sweep accumulation, and the calib chain.
+
+Real-devkit attempt (round 4, per round-3 VERDICT #8): `import nuscenes`
+fails and `pip download nuscenes-devkit` finds no distribution — this
+environment has no package index access (zero egress), so a real-devkit
+run remains blocked on data/package access.  The moment a devkit +
+v1.0-mini split is reachable, run one real `__getitem__` through the
+contract assertions below.
 """
 
 import sys
