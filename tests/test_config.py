@@ -36,6 +36,26 @@ def test_our_configs_parse():
         assert len(cfg.lattice_capacity) == len(cfg.scale_map)
 
 
+def test_every_shipped_config_parses():
+    """Every YAML under configs/ must parse into a coherent Config —
+    segment configs are staged faster than they are run, and a typo'd
+    knob otherwise surfaces hours later, mid-device-window."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join("configs", "*.yaml")))
+    assert len(paths) >= 18
+    for path in paths:
+        cfg = Config.from_yaml(path)
+        assert len(cfg.lattice_capacity) == len(cfg.scale_map), path
+        assert len(cfg.g_trs_axis_weights) == 3, path
+        # test-mode configs must point at a weights source; train configs
+        # at a checkpoint dir
+        if cfg.is_test:
+            assert cfg.get("ckpt_path"), path
+        else:
+            assert cfg.ckpt_dir, path
+
+
 def test_roundtrip(tmp_path):
     cfg = Config.from_dict({"lr": 0.5, "custom_key": 7})
     path = tmp_path / "c.yaml"
