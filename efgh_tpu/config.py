@@ -96,7 +96,11 @@ class Config:
     # at zero regression slope through >12k iters while t_x/t_z converged
     # (docs/ACCURACY.md).  Old 4-channel snapshots load by zero-padding the
     # conv_d1 kernel (exactly the knob-off function at load time).
-    g_coord_channels: bool = False
+    # False = off (reference), True/"uv" = +(u, v), "uvprod" = +(u, v,
+    # u*w, v*w) — the products the lateral residual is linear in
+    # (models/gnet.py); snapshots migrate forward between modes by the
+    # same zero-padding.
+    g_coord_channels: Any = False
 
     # ---- training ----
     weight_decay: float = 0.0

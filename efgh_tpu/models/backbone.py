@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -31,7 +31,7 @@ class EFGHBackbone(nn.Module):
     remat: bool = False
     pyramid_batching: str = "vmap"
     mesh_devices: int = 1
-    g_coord_channels: bool = False
+    g_coord_channels: Any = False  # False | "uv" | "uvprod" (models/gnet.py)
 
     @classmethod
     def from_config(cls, cfg: Config) -> "EFGHBackbone":
@@ -57,7 +57,7 @@ class EFGHBackbone(nn.Module):
             projection_mode=cfg.projection_mode,
             compute_dtype=dtype,
             remat=bool(cfg.get("remat", False)),
-            g_coord_channels=bool(cfg.get("g_coord_channels", False)),
+            g_coord_channels=cfg.get("g_coord_channels", False),
         )
 
     @nn.compact

@@ -8,7 +8,7 @@ trunk, ending in a 3-vector translation (reference nets/gnet.py).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
@@ -35,7 +35,13 @@ class Gnet(nn.Module):
     # the t_y residual ~ py - (u - cx)*w/fx needs the pixel column u as a
     # VALUE next to the projected point's (py, w) values; without it the
     # mean-pooled trs head has no lateral cue (docs/ACCURACY.md).
-    coord_channels: bool = False
+    # False = reference semantics; True/"uv" = +2 channels (u, v);
+    # "uvprod" = +4 channels (u, v, u*w, v*w) — the products the lateral
+    # residual is LINEAR in, so the trunk need not synthesize a
+    # multiplication out of ReLUs.  Channel order nests: a 4-channel
+    # (off) or 6-channel ("uv") snapshot migrates to any wider mode by
+    # zero-padding conv_d1's kernel (loop.py load_pretrained).
+    coord_channels: Any = False
 
     @nn.compact
     def __call__(self, pc: jnp.ndarray, img: jnp.ndarray, ret: dict,
@@ -80,7 +86,11 @@ class Gnet(nn.Module):
             )
         )(pc, jax.lax.stop_gradient(ret["efh_cam_T_velo"]))  # (B, 4, H, W)
         f_depth = jnp.transpose(f_depth, (0, 2, 3, 1)).astype(self.compute_dtype)
-        if self.coord_channels:
+        mode = {False: None, True: "uv"}.get(self.coord_channels,
+                                             self.coord_channels)
+        if mode is not None:
+            if mode not in ("uv", "uvprod"):
+                raise ValueError(f"g_coord_channels: unknown mode {mode!r}")
             # normalized pixel-center coordinates in (-0.5, 0.5); appended
             # AFTER the reference's 4 (px, py, pz, w) channels so 4-channel
             # snapshots load by zero-padding conv_d1's kernel (loop.py
@@ -93,10 +103,16 @@ class Gnet(nn.Module):
                 [jnp.broadcast_to(uu[None, :], (hh, ww)),
                  jnp.broadcast_to(vv[:, None], (hh, ww))], axis=-1
             ).astype(self.compute_dtype)
-            f_depth = jnp.concatenate(
-                [f_depth, jnp.broadcast_to(grid[None], (b_, hh, ww, 2))],
-                axis=-1,
-            )
+            extra = [jnp.broadcast_to(grid[None], (b_, hh, ww, 2))]
+            if mode == "uvprod":
+                # u*w, v*w with w = projective depth (channel 3; 0 at empty
+                # pixels, so the products stay 0 where there is no point).
+                # u = fx*x_cam/z_cam + cx makes y_velo a LINEAR function of
+                # {u*w, w}: y_velo = (cx*w - u*w)/fx — handing the trunk the
+                # exact terms the lateral residual needs instead of asking
+                # ReLU stacks to synthesize the multiplication.
+                extra.append(extra[0] * f_depth[..., 3:4])
+            f_depth = jnp.concatenate([f_depth] + extra, axis=-1)
 
         # ---- fusion branch (reference nets/gnet.py:142-166) ----
         ci = ConvBNRelu(32, (1, 1), (1, 1), (0, 0), name="conv_i1")(d2, train)

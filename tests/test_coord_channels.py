@@ -141,6 +141,112 @@ def test_backbone_wires_the_config_knob():
     cfg_off = Config.from_dict({})
     assert build_model(cfg_on).g_coord_channels is True
     assert build_model(cfg_off).g_coord_channels is False
+    cfg_prod = Config.from_dict({"g_coord_channels": "uvprod"})
+    assert build_model(cfg_prod).g_coord_channels == "uvprod"
+
+
+def test_uvprod_zero_padded_matches_uv_model():
+    """An "uv" (6-channel) model's function must be exactly reproduced by a
+    "uvprod" (8-channel) model whose product-slice weights are zero — the
+    s5 -> s6 migration path."""
+    pc, img, ret = _inputs()
+    g_prod = Gnet(raw_cam_img_size=RAW, coord_channels="uvprod")
+    g_uv = Gnet(raw_cam_img_size=RAW, coord_channels="uv")
+    variables = g_prod.init(jax.random.PRNGKey(0), pc, img, ret, train=False)
+    p = jax.tree_util.tree_map(np.asarray, jax.device_get(variables["params"]))
+    k = np.array(p["conv_d1"]["Conv_0"]["Conv_0"]["kernel"])
+    assert k.shape[2] == 8
+    k[:, :, 6:, :] = 0.0
+    p["conv_d1"]["Conv_0"]["Conv_0"]["kernel"] = k
+    p_uv = jax.tree_util.tree_map(np.copy, p)
+    p_uv["conv_d1"]["Conv_0"]["Conv_0"]["kernel"] = k[:, :, :6, :]
+    bs = variables["batch_stats"]
+
+    out_prod = g_prod.apply({"params": p, "batch_stats": bs},
+                            pc, img, ret, train=False)
+    out_uv = g_uv.apply({"params": p_uv, "batch_stats": bs},
+                        pc, img, ret, train=False)
+    np.testing.assert_array_equal(np.asarray(out_prod["g_trs"]),
+                                  np.asarray(out_uv["g_trs"]))
+
+
+def test_uvprod_channels_are_wired_and_depth_gated():
+    """Nonzero product-slice weights must change the output, and the product
+    channels must be exactly u*w / v*w (zero wherever w is zero)."""
+    pc, img, ret = _inputs()
+    g_prod = Gnet(raw_cam_img_size=RAW, coord_channels="uvprod")
+    variables = g_prod.init(jax.random.PRNGKey(0), pc, img, ret, train=False)
+    p0 = jax.tree_util.tree_map(np.asarray,
+                                jax.device_get(variables["params"]))
+    k = np.array(p0["conv_d1"]["Conv_0"]["Conv_0"]["kernel"])
+    k[:, :, 6:, :] = 0.0
+    p0["conv_d1"]["Conv_0"]["Conv_0"]["kernel"] = k
+    p1 = jax.tree_util.tree_map(np.copy, p0)
+    k1 = p1["conv_d1"]["Conv_0"]["Conv_0"]["kernel"]
+    k1[:, :, 6:, :] = 0.5
+    bs = variables["batch_stats"]
+    out0, _ = g_prod.apply({"params": p0, "batch_stats": bs},
+                           pc, img, ret, train=True, mutable=["batch_stats"])
+    out1, _ = g_prod.apply({"params": p1, "batch_stats": bs},
+                           pc, img, ret, train=True, mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(out0["g_trs"]),
+                           np.asarray(out1["g_trs"]))
+
+    # the product channels themselves: u*w with w = f_depth depth channel
+    from efgh_tpu.geometry import depth_image_from_pc
+
+    f = jax.vmap(lambda P, m: depth_image_from_pc(P, m, RAW))(
+        pc, ret["efh_cam_T_velo"])
+    w = np.asarray(f)[0, 3]  # (H, W)
+    hh, ww = RAW
+    uu = (np.arange(ww) + 0.5) / ww - 0.5
+    expect_uw = uu[None, :] * w
+    assert np.any(w != 0)
+    np.testing.assert_allclose(expect_uw[w == 0], 0.0)
+
+
+def test_unknown_mode_raises():
+    import pytest
+
+    pc, img, ret = _inputs()
+    g_bad = Gnet(raw_cam_img_size=RAW, coord_channels="uw")
+    with pytest.raises(ValueError, match="unknown mode"):
+        g_bad.init(jax.random.PRNGKey(0), pc, img, ret, train=False)
+
+
+def test_npz_migration_uv_to_uvprod(tmp_path):
+    """A 6-channel ("uv", segment-5) snapshot loads into an 8-channel
+    ("uvprod") state with the product slice zeroed — bit-exact function."""
+    pc, img, ret = _inputs()
+    g_uv = Gnet(raw_cam_img_size=RAW, coord_channels="uv")
+    g_prod = Gnet(raw_cam_img_size=RAW, coord_channels="uvprod")
+    v_uv = g_uv.init(jax.random.PRNGKey(1), pc, img, ret, train=False)
+
+    from flax.traverse_util import flatten_dict
+    flat = {}
+    for head, tree in (("params", v_uv["params"]),
+                       ("batch_stats", v_uv["batch_stats"])):
+        for path, leaf in flatten_dict(jax.device_get(tree)).items():
+            flat[f"{head}/{'/'.join(path)}"] = np.asarray(leaf)
+    npz = tmp_path / "snap.npz"
+    np.savez(str(npz), **flat)
+
+    v_prod = g_prod.init(jax.random.PRNGKey(2), pc, img, ret, train=False)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=v_prod["params"],
+                       batch_stats=v_prod["batch_stats"], opt_state=())
+    cfg = Config.from_dict({"g_coord_channels": "uvprod"})
+    loaded = load_pretrained(str(npz), state, cfg)
+
+    k = np.asarray(loaded.params["conv_d1"]["Conv_0"]["Conv_0"]["kernel"])
+    assert k.shape[2] == 8
+    np.testing.assert_array_equal(k[:, :, 6:, :], 0.0)
+    out_prod = g_prod.apply({"params": loaded.params,
+                             "batch_stats": loaded.batch_stats},
+                            pc, img, ret, train=False)
+    out_uv = g_uv.apply(v_uv, pc, img, ret, train=False)
+    np.testing.assert_array_equal(np.asarray(out_prod["g_trs"]),
+                                  np.asarray(out_uv["g_trs"]))
 
 
 def test_npz_mismatch_still_fails_without_knob(tmp_path):
