@@ -14,7 +14,8 @@ from __future__ import annotations
 
 import json
 import os
-import socket
+
+from efgh_tpu.ops import merge_probe as _merge_probe
 
 _PROBE_H = 8192
 _PROBE_F = 15
@@ -85,7 +86,7 @@ def resolve_bcl_auto_backend() -> str:
     try:
         with open(path) as f:
             cached = json.load(f)
-        if cached.get("host") == socket.gethostname():
+        if cached.get("host") == _merge_probe._host_id():
             return cached["backend"]
     except Exception:
         pass
@@ -100,7 +101,7 @@ def resolve_bcl_auto_backend() -> str:
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
-            json.dump({"host": socket.gethostname(), "backend": backend,
+            json.dump({"host": _merge_probe._host_id(), "backend": backend,
                        "runs": _PROBE_RUNS}, f)
     except Exception:
         pass

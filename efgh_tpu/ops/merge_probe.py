@@ -37,6 +37,25 @@ import socket
 from typing import Optional
 
 _PROBE_ROWS = 16
+
+
+def _host_id() -> str:
+    """Identity of THIS boot of THIS host.
+
+    Hostname alone is not enough: the VMs here are rebuilt with the same
+    hostname ("vm"), and the failure the probe guards against lives in the
+    host-side transport stack, which changes with the rebuild.  Including
+    the kernel boot_id invalidates the cached verdict on every
+    reboot/rebuild, which is exactly the cadence CLAUDE.md prescribes for
+    re-running the bisect.
+    """
+    boot = ""
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot = f.read().strip()
+    except OSError:
+        pass
+    return f"{socket.gethostname()}:{boot}"
 _PROBE_LEN = 16384
 _PROBE_RUNS = 3
 
@@ -123,7 +142,7 @@ def resolve_auto_backend() -> str:
     try:
         with open(path) as f:
             cached = json.load(f)
-        if cached.get("host") == socket.gethostname():
+        if cached.get("host") == _host_id():
             return cached["backend"]
     except Exception:
         pass
@@ -143,7 +162,7 @@ def resolve_auto_backend() -> str:
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
-            json.dump({"host": socket.gethostname(), "backend": backend,
+            json.dump({"host": _host_id(), "backend": backend,
                        "runs": _PROBE_RUNS}, f)
     except Exception:
         pass
