@@ -286,7 +286,10 @@ def train(cfg: Config, model, train_ds, val_ds, summary=None):
     if cfg.pretrained_path:
         state = load_pretrained(str(cfg.pretrained_path), state, cfg)
         print(f"=> loaded pretrained weights from {cfg.pretrained_path}")
-        pretrained_only_start = True
+        # a FULL-state snapshot (opt_state + step in the npz) is a lossless
+        # resume, not a fresh-Adam start: keep best-model tracking live and
+        # skip the re-warm is_best suppression
+        pretrained_only_start = int(state.step) == 0
 
     if cfg.resume_path:
         # The reference aborts when resume_path names no file
@@ -450,10 +453,14 @@ def load_pretrained(path: str, state: TrainState, cfg: Config) -> TrainState:
 
         with _np.load(path) as z:
             trees = {"params": {}, "batch_stats": {}}
+            opt_arrays = {}
+            snap_step = int(z["__step__"]) if "__step__" in z.files else 0
             for key in z.files:
                 head, _, rest = key.partition("/")
                 if head in trees:
                     trees[head][tuple(rest.split("/"))] = z[key]
+                elif head == "opt_state":
+                    opt_arrays[rest] = z[key]
         params = _unflat(trees["params"])
         batch_stats = _unflat(trees["batch_stats"])
         # structural check against the fresh-init trees: a wrong-arch
@@ -481,7 +488,42 @@ def load_pretrained(path: str, state: TrainState, cfg: Config) -> TrainState:
 
         params = jax.tree_util.tree_map_with_path(
             _check, jax.device_get(state.params), params)
-        return _dc.replace(state, params=params, batch_stats=batch_stats)
+        if not opt_arrays:
+            return _dc.replace(state, params=params, batch_stats=batch_stats)
+        # FULL-state snapshot (scripts/export_weights.py --with-opt):
+        # restore the Adam moments + step so a resumed run continues the
+        # segment losslessly instead of paying the documented ~1k-iter
+        # fresh-Adam re-warm transient (docs/ACCURACY.md).  Matched by
+        # named path, never by leaf order — mu/nu are shape-identical.
+        from efgh_tpu.train.state import flat_path_leaves
+
+        live = flat_path_leaves(state.opt_state)
+        leaves = []
+        for pstr, leaf in live:
+            if pstr not in opt_arrays:
+                raise ValueError(
+                    f"full-state snapshot missing opt_state/{pstr} — was it "
+                    "exported with the same optimizer config "
+                    "(lr_scale_keys/grad_false_keys/weight_decay)?")
+            v = opt_arrays.pop(pstr)
+            shape = tuple(getattr(leaf, "shape", ()))
+            if tuple(v.shape) != shape:
+                raise ValueError(
+                    f"opt_state/{pstr}: snapshot shape {v.shape} != {shape}")
+            if hasattr(leaf, "dtype"):
+                v = v.astype(leaf.dtype)
+            leaves.append(v)
+        if opt_arrays:
+            raise ValueError(
+                f"full-state snapshot has {len(opt_arrays)} opt_state arrays "
+                f"the current optimizer lacks, e.g. {sorted(opt_arrays)[:3]}")
+        opt_state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state.opt_state), leaves)
+        print(f"=> full-state snapshot: optimizer moments + step "
+              f"{snap_step} restored (lossless resume)")
+        return _dc.replace(state, params=params, batch_stats=batch_stats,
+                           opt_state=opt_state,
+                           step=jnp.asarray(snap_step, jnp.int32))
     # orbax checkpoint: the saved opt_state was written with the PLAIN
     # optimizer (no grad_false_keys wrapping — the source run trained all
     # parameters), so restore against a plain-optimizer template and keep

@@ -124,3 +124,30 @@ def create_state(model, cfg: Config, sample_batch, rng) -> TrainState:
 
 def param_count(params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def flat_path_leaves(tree):
+    """(path-string, leaf) pairs for any pytree, with path elements drawn
+    from dict keys, namedtuple FIELD NAMES, and sequence indices.
+
+    The point of naming fields (instead of flattening positionally) is that
+    the same optax state produces the SAME path strings whether it is the
+    live namedtuple structure (GetAttrKey) or its orbax raw-restore image
+    (nested dicts keyed by field name) — so a full-state .npz snapshot can
+    be matched key-by-key against a freshly initialized optimizer without
+    trusting leaf order (ScaleByAdamState's mu/nu are shape-identical, so
+    an order mixup would corrupt moments silently)."""
+    out = []
+    for kpath, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        parts = []
+        for k in kpath:
+            if hasattr(k, "key"):  # DictKey / FlattenedIndexKey
+                parts.append(str(k.key))
+            elif hasattr(k, "name"):  # GetAttrKey (namedtuple fields)
+                parts.append(str(k.name))
+            elif hasattr(k, "idx"):  # SequenceKey (tuples / chain stages)
+                parts.append(str(k.idx))
+            else:
+                parts.append(str(k))
+        out.append(("/".join(parts), leaf))
+    return out

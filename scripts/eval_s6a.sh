@@ -19,6 +19,13 @@ export EFGH_BENCH_CACHE_DIR="${EFGH_BENCH_CACHE_DIR:-.cache/synth}"
 
 echo "== [1/4] export weights =="
 python scripts/export_weights.py "$CKPT" params/efgh_synth_s6a.npz
+# full-state snapshot of the LATEST checkpoint (not model_best): Adam
+# moments + step, so the next round resumes the segment losslessly after
+# the host rebuild (configs/train_synthetic_b2_s6a_resume.yaml)
+if [ -d ckpts/synth_s6a/checkpoint ]; then
+  python scripts/export_weights.py ckpts/synth_s6a/checkpoint \
+    params/efgh_synth_s6a_full.npz --with-opt
+fi
 
 echo "== [2/4] eval (eval_bn: batch) =="
 python main.py configs/test_synthetic_s6a.yaml

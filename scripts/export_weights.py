@@ -9,9 +9,15 @@ that can be committed, and that `pretrained_path: <file>.npz` loads back
 
 Usage:
     python scripts/export_weights.py ckpts/synth/model_best params/foo.npz
+    python scripts/export_weights.py ckpts/synth/checkpoint params/foo_full.npz --with-opt
 
-Optimizer state is deliberately not exported: Adam moments triple the
-size, and a resumed run re-warms them within a few hundred iters.
+By default optimizer state is not exported (Adam moments triple the size
+and weights-only is right for cross-segment recipe changes).  `--with-opt`
+additionally snapshots the optimizer state + step, keyed by NAMED tree
+path (efgh_tpu/train/state.py:flat_path_leaves); `pretrained_path` then
+restores it as a lossless resume — no fresh-Adam re-warm transient
+(docs/ACCURACY.md) — provided the optimizer config (lr_scale_keys /
+grad_false_keys / weight_decay) is unchanged.
 """
 
 import os
@@ -22,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def export(ckpt_path: str, out_path: str) -> dict:
+def export(ckpt_path: str, out_path: str, with_opt: bool = False) -> dict:
     import orbax.checkpoint as ocp
     from flax.traverse_util import flatten_dict
 
@@ -38,6 +44,13 @@ def export(ckpt_path: str, out_path: str) -> dict:
             continue
         for kpath, leaf in flatten_dict(tree).items():
             flat[tree_name + "/" + "/".join(kpath)] = np.asarray(leaf)
+    if with_opt:
+        # named-path flatten so the loader can match against a freshly
+        # initialized optax tree regardless of container types / leaf order
+        from efgh_tpu.train.state import flat_path_leaves
+
+        for pstr, leaf in flat_path_leaves(raw["opt_state"]):
+            flat["opt_state/" + pstr] = np.asarray(leaf)
     flat["__step__"] = np.asarray(int(np.asarray(raw["step"])))
 
     tmp = out_path + ".tmp"
@@ -49,7 +62,7 @@ def export(ckpt_path: str, out_path: str) -> dict:
 
 def main():
     ckpt_path, out_path = sys.argv[1], sys.argv[2]
-    flat = export(ckpt_path, out_path)
+    flat = export(ckpt_path, out_path, with_opt="--with-opt" in sys.argv[3:])
     n_params = sum(int(v.size) for k, v in flat.items()
                    if k.startswith("params/"))
     mb = os.path.getsize(out_path) / 1e6
