@@ -134,7 +134,6 @@ class TestAutoProbe:
 
     def test_cache_roundtrip(self, tmp_path, monkeypatch):
         import json
-        import socket
 
         from efgh_tpu.ops import merge_probe
 
@@ -145,7 +144,7 @@ class TestAutoProbe:
 
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
-            json.dump({"host": socket.gethostname(), "backend": "pallas"}, f)
+            json.dump({"host": merge_probe._host_id(), "backend": "pallas"}, f)
         monkeypatch.setattr(
             merge_probe, "_cache_path", lambda kind: path)
 
@@ -157,6 +156,47 @@ class TestAutoProbe:
 
         monkeypatch.setattr(jax, "devices", lambda: [FakeDev()])
         assert merge_probe.resolve_auto_backend() == "pallas"
+
+    def test_stale_boot_cache_ignored(self, tmp_path, monkeypatch):
+        """A cache entry from a previous boot (same hostname, different
+        boot_id — the VM-rebuild signature) must NOT be trusted: the probe
+        re-runs instead of returning the stale verdict."""
+        import json
+        import socket
+
+        from efgh_tpu.ops import merge_probe
+
+        monkeypatch.setenv("EFGH_CACHE_DIR", str(tmp_path))
+        monkeypatch.delenv("EFGH_PALLAS_MERGE", raising=False)
+        path = merge_probe._cache_path("faketpu")
+        import os
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        # bare hostname = the pre-boot_id cache format; also covers a
+        # different boot_id on the rebuilt host
+        with open(path, "w") as f:
+            json.dump({"host": socket.gethostname(), "backend": "pallas"}, f)
+        monkeypatch.setattr(merge_probe, "_cache_path", lambda kind: path)
+        probed = {"n": 0}
+
+        def fake_probe():
+            probed["n"] += 1
+            return False  # this boot's transport is bad
+
+        monkeypatch.setattr(merge_probe, "_run_probe", fake_probe)
+
+        class FakeDev:
+            platform = "tpu"
+            device_kind = "faketpu"
+
+        import jax
+
+        monkeypatch.setattr(jax, "devices", lambda: [FakeDev()])
+        assert merge_probe.resolve_auto_backend() == "sort"
+        assert probed["n"] == 1
+        # and the re-probe result was re-cached under THIS boot's id
+        with open(path) as f:
+            assert json.load(f)["host"] == merge_probe._host_id()
 
     def test_probe_detects_corruption(self, monkeypatch):
         """A backend returning wrong results must fail the self-test."""
