@@ -50,22 +50,17 @@ def enable_compile_cache():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
 
 
-def main():
-    t_start = time.time()
-    enable_compile_cache()
-    mode = os.environ.get("EFGH_BENCH_MODE", "infer")
-    # train at production shapes OOMs HBM at batch 2 (G U-Net activations in
-    # the backward pass); batch 1 fits. docs/PERFORMANCE.md tracks this.
-    default_batch = "1" if mode == "train" else "2"
-    batch = int(os.environ.get("EFGH_BENCH_BATCH", default_batch))
-    iters = int(os.environ.get("EFGH_BENCH_ITERS", "24"))
-    # the official number is the MEDIAN of n_runs timed loops: single-run
-    # wall clock through this host's tunnel varies up to 1.8x between
-    # identical invocations (docs/PERFORMANCE.md), which is how r01/r02
-    # recorded 6.1 vs 4.3 pairs/s for the same code
-    n_runs = int(os.environ.get("EFGH_BENCH_RUNS", "3"))
-    n_variants = int(os.environ.get("EFGH_BENCH_VARIANTS", "4"))
+def _measure(mode: str, batch: int, iters: int, n_runs: int,
+             n_variants: int, force_sort: bool) -> dict:
+    """One full measurement: build the model, stage inputs, compile, time.
 
+    Everything jitted is (re)built HERE so a retry gets fresh function
+    objects — jax's trace cache is keyed on the function object, and
+    re-jitting the same body after set_merge_backend would silently reuse
+    the OLD backend's jaxpr (CLAUDE.md).  `force_sort` pins the lax.sort
+    merge regardless of env/probe (the degraded-retry path after an
+    implausible-rate guard trip)."""
+    t_start = time.time()
     import jax
 
     from efgh_tpu.config import Config
@@ -86,7 +81,10 @@ def main():
     merge = os.environ.get("EFGH_BENCH_MERGE")  # sort | pallas (A/B knob)
     from efgh_tpu.ops.lattice import set_merge_backend
 
-    if merge:
+    if force_sort:
+        merge = "sort"
+        set_merge_backend("sort")
+    elif merge:
         set_merge_backend(merge)
     else:
         # probe-resolved auto.  History: round 2-3 observed stale results /
@@ -179,7 +177,8 @@ def main():
             def fwd(v, pc, img, calib, A, prev):
                 return net_fn(v, pc, img, calib, A, pyr_fn(pc), prev)
 
-            split_merge = os.environ.get("EFGH_BENCH_SPLIT_MERGE")
+            split_merge = (None if force_sort
+                           else os.environ.get("EFGH_BENCH_SPLIT_MERGE"))
             if split_merge:
                 # ship the Pallas merge for the PYRAMID executable alone:
                 # the backend is read at trace time, so trace pyr_fn now
@@ -237,30 +236,63 @@ def main():
         metric = "rellis_pairs_per_sec_per_chip"
 
     dt = sorted(dts)[len(dts) // 2]  # median run
-    pairs_per_sec = batch / dt
-    # plausibility guard: device self-time alone bounds this workload at
-    # ~6.2 pairs/s/chip on v5e (docs/PERFORMANCE.md roofline); a rate far
-    # above that means the transport served stale/cached results and the
-    # number is garbage — refuse to report it as a benchmark
-    max_sane = float(os.environ.get("EFGH_BENCH_MAX_SANE", "50"))
-    if pairs_per_sec > max_sane:
-        print(json.dumps({
-            "error": f"implausible rate {pairs_per_sec:.1f} pairs/s "
-                     f"(> {max_sane}): transport served stale results",
-            "metric": metric, "runs_pairs_per_sec":
-                [round(batch / d, 3) for d in dts],
-        }))
-        raise SystemExit(1)
-    print(json.dumps({
+    return {
         "metric": metric,
-        "value": round(pairs_per_sec, 3),
+        "value": round(batch / dt, 3),
         "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_sec / REFERENCE_CPU_PAIRS_PER_SEC, 1),
+        "vs_baseline": round(batch / dt / REFERENCE_CPU_PAIRS_PER_SEC, 1),
         "runs_pairs_per_sec": [round(batch / d, 3) for d in dts],
         "batch": batch,
         "iters_per_run": iters,
         "compile_s": round(compile_s, 1),
-    }))
+    }
+
+
+def main():
+    enable_compile_cache()
+    mode = os.environ.get("EFGH_BENCH_MODE", "infer")
+    # train at production shapes OOMs HBM at batch 2 (G U-Net activations in
+    # the backward pass); batch 1 fits. docs/PERFORMANCE.md tracks this.
+    default_batch = "1" if mode == "train" else "2"
+    batch = int(os.environ.get("EFGH_BENCH_BATCH", default_batch))
+    iters = int(os.environ.get("EFGH_BENCH_ITERS", "24"))
+    # the official number is the MEDIAN of n_runs timed loops: single-run
+    # wall clock through this host's tunnel varies up to 1.8x between
+    # identical invocations (docs/PERFORMANCE.md), which is how r01/r02
+    # recorded 6.1 vs 4.3 pairs/s for the same code
+    n_runs = int(os.environ.get("EFGH_BENCH_RUNS", "3"))
+    n_variants = int(os.environ.get("EFGH_BENCH_VARIANTS", "4"))
+
+    # plausibility guard: device self-time alone bounds this workload at
+    # ~6.2 pairs/s/chip on v5e (docs/PERFORMANCE.md roofline); a rate far
+    # above that means the transport served stale/cached results and the
+    # number is garbage.  Round 4 lost its scoreboard entry to exactly this
+    # (BENCH_r04.json: 2202->3891 "pairs/s", rc 1), so a guard trip now
+    # DEGRADES instead of aborting: force the lax.sort merge, rebuild every
+    # jitted closure fresh (trace-cache gotcha), re-run once, and report
+    # with "degraded": true.  Exit 1 only if the retry is also garbage.
+    max_sane = float(os.environ.get("EFGH_BENCH_MAX_SANE", "50"))
+    res = _measure(mode, batch, iters, n_runs, n_variants, force_sort=False)
+    if res["value"] > max_sane:
+        first = res
+        print(f"[bench] implausible rate {first['value']:.1f} pairs/s "
+              f"(> {max_sane}): transport served stale results; retrying "
+              "once with forced sort merge", file=sys.stderr, flush=True)
+        res = _measure(mode, batch, iters, n_runs, n_variants,
+                       force_sort=True)
+        if res["value"] > max_sane:
+            print(json.dumps({
+                "error": f"implausible rate {res['value']:.1f} pairs/s "
+                         f"(> {max_sane}) even after the forced-sort retry: "
+                         "transport is serving stale results",
+                "metric": res["metric"],
+                "runs_pairs_per_sec": res["runs_pairs_per_sec"],
+                "first_attempt_runs": first["runs_pairs_per_sec"],
+            }))
+            raise SystemExit(1)
+        res["degraded"] = True
+        res["first_attempt_runs"] = first["runs_pairs_per_sec"]
+    print(json.dumps(res))
 
 
 if __name__ == "__main__":

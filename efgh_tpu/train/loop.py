@@ -452,7 +452,7 @@ def load_pretrained(path: str, state: TrainState, cfg: Config) -> TrainState:
         from flax.traverse_util import unflatten_dict as _unflat
 
         with _np.load(path) as z:
-            trees = {"params": {}, "batch_stats": {}}
+            trees = {"params": {}, "batch_stats": {}, "ema_params": {}}
             opt_arrays = {}
             snap_step = int(z["__step__"]) if "__step__" in z.files else 0
             for key in z.files:
@@ -463,6 +463,7 @@ def load_pretrained(path: str, state: TrainState, cfg: Config) -> TrainState:
                     opt_arrays[rest] = z[key]
         params = _unflat(trees["params"])
         batch_stats = _unflat(trees["batch_stats"])
+        snap_ema = _unflat(trees["ema_params"]) if trees["ema_params"] else None
         # structural check against the fresh-init trees: a wrong-arch
         # snapshot should fail loudly here, not at apply time.  One sanctioned
         # migration: with g_coord_channels on, a pre-knob 4-channel snapshot's
@@ -488,8 +489,30 @@ def load_pretrained(path: str, state: TrainState, cfg: Config) -> TrainState:
 
         params = jax.tree_util.tree_map_with_path(
             _check, jax.device_get(state.params), params)
+        # EMA shadow (cfg.ema_decay > 0): restore it from the snapshot when
+        # present; a weights-only snapshot seeds it from the loaded params
+        # (fresh segment start).  A FULL-state snapshot without ema_params
+        # is an error — test() preferentially evaluates the shadow, and a
+        # fresh-init shadow would silently poison the resume (ADVICE r4).
+        ema = state.ema_params
+        if ema is not None:
+            if snap_ema is not None:
+                ema = jax.tree_util.tree_map_with_path(
+                    _check, jax.device_get(ema), snap_ema)
+            elif opt_arrays:
+                raise ValueError(
+                    "full-state snapshot carries opt_state but no ema_params "
+                    "while cfg.ema_decay > 0 — resuming would continue with "
+                    "a stale EMA shadow; re-export from a checkpoint that "
+                    "has ema_params, or set ema_decay: 0")
+            else:
+                ema = jax.tree_util.tree_map(jnp.copy, params)
+        elif snap_ema is not None:
+            print("[w] snapshot has ema_params but cfg.ema_decay is 0 — "
+                  "ignoring the shadow")
         if not opt_arrays:
-            return _dc.replace(state, params=params, batch_stats=batch_stats)
+            return _dc.replace(state, params=params, batch_stats=batch_stats,
+                               ema_params=ema)
         # FULL-state snapshot (scripts/export_weights.py --with-opt):
         # restore the Adam moments + step so a resumed run continues the
         # segment losslessly instead of paying the documented ~1k-iter
@@ -522,7 +545,7 @@ def load_pretrained(path: str, state: TrainState, cfg: Config) -> TrainState:
         print(f"=> full-state snapshot: optimizer moments + step "
               f"{snap_step} restored (lossless resume)")
         return _dc.replace(state, params=params, batch_stats=batch_stats,
-                           opt_state=opt_state,
+                           ema_params=ema, opt_state=opt_state,
                            step=jnp.asarray(snap_step, jnp.int32))
     # orbax checkpoint: the saved opt_state was written with the PLAIN
     # optimizer (no grad_false_keys wrapping — the source run trained all

@@ -38,7 +38,11 @@ def export(ckpt_path: str, out_path: str, with_opt: bool = False) -> dict:
     raw = ocp.StandardCheckpointer().restore(ckpt_path)
 
     flat = {}
-    for tree_name in ("params", "batch_stats"):
+    # ema_params rides along whenever the checkpoint carries it (ema_decay
+    # > 0 runs): test() preferentially evaluates the EMA shadow, so a
+    # snapshot without it would silently resume with a fresh-init shadow
+    # (ADVICE r4).
+    for tree_name in ("params", "batch_stats", "ema_params"):
         tree = raw.get(tree_name)
         if not tree:
             continue

@@ -12,9 +12,16 @@
 # checkpoint / STOP harvest.
 #
 # Usage: scripts/wedge_watchdog.sh configs/train_foo.yaml logs/foo.log
+#
+# STOP_AT (optional, epoch seconds): at that time the watchdog harvests the
+# trainer via the STOP file and exits — the mechanical enforcement of the
+# device-window rule "leave NO trainer running at round end; the driver's
+# bench needs the single-tenant tunnel" (round-4 verdict: a live s6a
+# trainer corrupted the driver bench into stale-transport garbage).
 set -u
 CFG="$1"
 LOG="$2"
+STOP_AT="${STOP_AT:-}"
 # 15 min: long enough that a cold device-side compile (client CPU idle
 # ~5-8 min with a warm sample cache) can never false-trigger; a real wedge
 # costs 15 min + recovery instead of the rest of the session
@@ -60,7 +67,10 @@ else
   launch
 fi
 
+CKPT_DIR=$(awk -F': *' '$1=="ckpt_dir"{gsub(/["'"'"']/,"",$2); print $2; exit}' "$CFG")
+
 LAST_T=""
+LAST_PID=""
 FROZEN=0
 while true; do
   sleep "$POLL"
@@ -68,8 +78,31 @@ while true; do
     echo "[watchdog] wrapper exited — trainer finished or failed; stopping"
     exit 0
   fi
+  if [ -n "$STOP_AT" ] && [ "$(date +%s)" -ge "$STOP_AT" ]; then
+    echo "[watchdog] $(date -u +%H:%M:%S) STOP_AT reached — harvesting via STOP file"
+    touch "${CKPT_DIR:-.}/STOP"
+    # STOP is consumed at the next log_every boundary (seconds); give the
+    # final checkpoint write a generous bound, then hard-stop stragglers
+    W=0
+    while kill -0 "$WRAPPER" 2>/dev/null && [ "$W" -lt 900 ]; do sleep 10; W=$((W+10)); done
+    if kill -0 "$WRAPPER" 2>/dev/null; then
+      PID=$(trainer_pid)
+      echo "[watchdog] trainer ignored STOP for ${W}s — killing ${PID:-} + wrapper $WRAPPER"
+      [ -n "${PID:-}" ] && kill -9 "$PID" 2>/dev/null
+      kill -9 "$WRAPPER" 2>/dev/null
+    else
+      echo "[watchdog] trainer harvested cleanly at STOP_AT"
+    fi
+    exit 0
+  fi
   PID=$(trainer_pid)
   if [ -z "${PID:-}" ]; then continue; fi   # between restarts
+  if [ "$PID" != "${LAST_PID:-}" ]; then
+    # a new trainer process (wrapper restart): its cputime string can
+    # coincide with the old one's, so never carry FROZEN across PIDs
+    LAST_T=""; FROZEN=0
+  fi
+  LAST_PID="$PID"
   T=$(cputime "$PID")
   if [ -n "$T" ] && [ "$T" = "${LAST_T:-}" ]; then
     FROZEN=$((FROZEN + POLL))
@@ -81,16 +114,23 @@ while true; do
     echo "[watchdog] $(date -u +%H:%M:%S) trainer $PID frozen ${FROZEN}s — killing"
     echo "[watchdog] wedge: killing frozen trainer $PID" >> "$LOG"
     kill -9 "$PID" 2>/dev/null
-    # wrapper exits on non-75; poll it down (it may be an adopted process,
-    # not our child, so `wait` can't be used), then wait out the remote
-    # session before relaunching
-    while kill -0 "$WRAPPER" 2>/dev/null; do sleep 5; done
+    # wrapper exits on non-75; poll it down BOUNDED (it may be an adopted
+    # process, not our child, so `wait` can't be used).  If the trainer's
+    # RSS watchdog raced to exit 75 first, the wrapper restarts instead of
+    # exiting — resume monitoring the new trainer rather than spinning
+    W=0
+    while kill -0 "$WRAPPER" 2>/dev/null && [ "$W" -lt 60 ]; do sleep 5; W=$((W+5)); done
+    if kill -0 "$WRAPPER" 2>/dev/null; then
+      echo "[watchdog] wrapper survived the kill (RSS-exit race) — resuming monitoring"
+      LAST_T=""; LAST_PID=""; FROZEN=0
+      continue
+    fi
     until probe_device; do
       echo "[watchdog] device not back yet; re-probing in 120 s"
       sleep 120
     done
     echo "[watchdog] device recovered — relaunching"
     launch
-    LAST_T=""; FROZEN=0
+    LAST_T=""; LAST_PID=""; FROZEN=0
   fi
 done

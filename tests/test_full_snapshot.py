@@ -101,6 +101,62 @@ def test_weights_only_snapshot_keeps_fresh_opt(cfg, tmp_path):
     assert float(jax.tree_util.tree_leaves(adam.mu)[0].sum()) == 0.0
 
 
+def test_ema_shadow_roundtrip(cfg, tmp_path):
+    """ema_decay > 0 lineages: the shadow rides in the --with-opt snapshot
+    and restores bit-exactly (ADVICE r4 — a missing shadow would silently
+    poison test(), which preferentially evaluates ema_params)."""
+    ckpt_dir = str(tmp_path / "ckpt")
+    saved = _saved_state(cfg, tmp_path)
+    ema = jax.tree_util.tree_map(lambda x: x + 1.0, saved.params)
+    saved = saved.replace(ema_params=ema)
+    save_checkpoint(saved, ckpt_dir, is_best=False, iter_iterval=10**9)
+    out = str(tmp_path / "full.npz")
+    _export(ckpt_dir, out, with_opt=True)
+
+    fresh = _tiny_state(cfg, seed=1)
+    fresh = fresh.replace(ema_params=jax.tree_util.tree_map(
+        jnp.copy, fresh.params))
+    loaded = load_pretrained(out, fresh, cfg)
+    for (pa, a), (pb, b) in zip(flat_path_leaves(saved.ema_params),
+                                flat_path_leaves(loaded.ema_params)):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=pa)
+
+
+def test_full_snapshot_without_ema_rejected_for_ema_run(cfg, tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt")
+    saved = _saved_state(cfg, tmp_path)  # no shadow in the source run
+    save_checkpoint(saved, ckpt_dir, is_best=False, iter_iterval=10**9)
+    out = str(tmp_path / "full.npz")
+    _export(ckpt_dir, out, with_opt=True)
+
+    fresh = _tiny_state(cfg, seed=1)
+    fresh = fresh.replace(ema_params=jax.tree_util.tree_map(
+        jnp.copy, fresh.params))
+    with pytest.raises(ValueError, match="ema_params"):
+        load_pretrained(out, fresh, cfg)
+
+
+def test_weights_only_snapshot_seeds_ema_from_params(cfg, tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt")
+    saved = _saved_state(cfg, tmp_path)
+    save_checkpoint(saved, ckpt_dir, is_best=False, iter_iterval=10**9)
+    out = str(tmp_path / "weights.npz")
+    _export(ckpt_dir, out, with_opt=False)
+
+    fresh = _tiny_state(cfg, seed=1)
+    fresh = fresh.replace(ema_params=jax.tree_util.tree_map(
+        jnp.copy, fresh.params))
+    loaded = load_pretrained(out, fresh, cfg)
+    # a fresh segment start: the shadow tracks the LOADED weights, not the
+    # fresh-init ones
+    for (pa, a), (pb, b) in zip(flat_path_leaves(loaded.params),
+                                flat_path_leaves(loaded.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=pa)
+
+
 def test_full_snapshot_rejects_optimizer_mismatch(cfg, tmp_path):
     ckpt_dir = str(tmp_path / "ckpt")
     saved = _saved_state(cfg, tmp_path)
