@@ -101,6 +101,23 @@ class Config:
     # (models/gnet.py); snapshots migrate forward between modes by the
     # same zero-padding.
     g_coord_channels: Any = False
+    # projective matching readout on G's translation head (models/
+    # matching.py).  No reference equivalent (reference nets/gnet.py:142-166
+    # mean-pools 1x1-conv features).  Motivation: lateral translation is a
+    # cross-modal DISPLACEMENT between image structure and the projected
+    # cloud; a global mean pool can read per-pixel value comparisons (t_x,
+    # t_z both work) but not displacement, and t_y stayed at zero regression
+    # slope through the s4 (loss re-weighting) and s6a (uvprod value
+    # channels) falsifications (docs/ACCURACY.md).  The module scans K
+    # candidate translations per axis, scores each candidate re-projection
+    # against G's own dense depth, and folds soft/hard argmin features into
+    # g_trs through a ZERO-INIT dense head — so a migrated snapshot computes
+    # exactly the knob-off function at load time (same contract as
+    # g_coord_channels; loop.py load_pretrained fills the missing head
+    # params with their zero init).  False = off (reference), True = on
+    # with defaults, or a dict of LateralMatching field overrides
+    # (span/k/clip/tau/downsample/axes).
+    g_matching: Any = False
 
     # ---- training ----
     weight_decay: float = 0.0
@@ -197,6 +214,11 @@ class Config:
     # this limit it checkpoints and exits cleanly (exit code 75) so an
     # outer loop can resume with a fresh process.
     rss_limit_gb: float = 0.0
+    # force a jax platform for this process ("" = default).  This host
+    # prepends its TPU plugin to jax_platforms, so CPU smoke runs of the
+    # CLI trainer need an explicit "cpu" HERE — the env var alone is
+    # ignored (CLAUDE.md); honored by efgh_tpu/main.py before any tracing.
+    platform: str = ""
     # disk cache directory for generated SYNTHETIC samples ("" = memory
     # only).  Samples are a pure function of (seed, index); on a 1-core
     # host generation costs seconds/sample and every RSS-watchdog restart

@@ -33,6 +33,13 @@ def main(argv=None):
 
     cfg = Config.from_yaml(args.config)
 
+    if cfg.get("platform"):
+        import jax
+
+        # must land before anything traces; the env var alone is ignored on
+        # hosts that prepend their device plugin to jax_platforms
+        jax.config.update("jax_platforms", str(cfg.platform))
+
     from efgh_tpu.data import build_dataset
     from efgh_tpu.models import build_model
     from efgh_tpu.train import test as run_test

@@ -32,6 +32,7 @@ class EFGHBackbone(nn.Module):
     pyramid_batching: str = "vmap"
     mesh_devices: int = 1
     g_coord_channels: Any = False  # False | "uv" | "uvprod" (models/gnet.py)
+    g_matching: Any = False  # False | True | ((key, value), ...) overrides
 
     @classmethod
     def from_config(cls, cfg: Config) -> "EFGHBackbone":
@@ -58,6 +59,13 @@ class EFGHBackbone(nn.Module):
             compute_dtype=dtype,
             remat=bool(cfg.get("remat", False)),
             g_coord_channels=cfg.get("g_coord_channels", False),
+            # YAML dict -> hashable tuple of items (linen modules must stay
+            # hashable; list values become tuples); True/False pass through
+            g_matching=(tuple(sorted(
+                (k, tuple(v) if isinstance(v, list) else v)
+                for k, v in m.items()))
+                if isinstance(m := cfg.get("g_matching", False), dict)
+                else bool(m)),
         )
 
     @nn.compact
@@ -122,6 +130,7 @@ class EFGHBackbone(nn.Module):
             compute_dtype=self.compute_dtype,
             remat=self.remat,
             coord_channels=self.g_coord_channels,
+            matching=self.g_matching,
             name="G",
         )(pc, img, ret, train=train)
         ret["efgh_cam_T_velo"] = compute_cam_T_velo(

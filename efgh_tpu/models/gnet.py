@@ -42,6 +42,14 @@ class Gnet(nn.Module):
     # (off) or 6-channel ("uv") snapshot migrates to any wider mode by
     # zero-padding conv_d1's kernel (loop.py load_pretrained).
     coord_channels: Any = False
+    # Projective matching readout (config.py g_matching): scan candidate
+    # lateral/depth translations, score candidate re-projections against
+    # the model's own dense depth, and fold the soft-argmin into g_trs
+    # through a ZERO-INIT dense head — the displacement readout the global
+    # mean pool cannot express (models/matching.py; docs/ACCURACY.md).
+    # False = reference semantics; True = defaults; a tuple of (key, value)
+    # pairs overrides LateralMatching fields (kept hashable for linen).
+    matching: Any = False
 
     @nn.compact
     def __call__(self, pc: jnp.ndarray, img: jnp.ndarray, ret: dict,
@@ -128,6 +136,33 @@ class Gnet(nn.Module):
         t = t.reshape(b, -1, 512).astype(jnp.float32)  # (B, HW, 512)
         t = Conv1dTorch(3, name="conv_trs_4")(t)  # (B, HW, 3)
         trs = jnp.mean(t, axis=1)[..., None]  # (B, 3, 1)
+
+        if self.matching:
+            from efgh_tpu.models.matching import LateralMatching
+
+            kw = {k: (tuple(v) if k == "axes" else v)
+                  for k, v in (self.matching
+                               if isinstance(self.matching, tuple) else ())}
+            # every input stop-gradded: the cost curves are a pure feature;
+            # only the zero-init head below trains (segment-7a semantics),
+            # so at snapshot-migration time the model computes EXACTLY the
+            # knob-off function until the head moves away from zero
+            feats, match_aux = LateralMatching(
+                raw_cam_img_size=self.raw_cam_img_size,
+                projection_mode=self.projection_mode,
+                name="matching", **kw)(
+                jax.lax.stop_gradient(pc),
+                jax.lax.stop_gradient(dimg[..., 0].astype(jnp.float32)),
+                jax.lax.stop_gradient(mask[..., 0]),
+                jax.lax.stop_gradient(ret["efh_cam_T_velo"]),
+                jax.lax.stop_gradient(ret["sensor2_T_sensor1"]),
+            )
+            corr = nn.Dense(3, kernel_init=nn.initializers.zeros,
+                            bias_init=nn.initializers.zeros,
+                            name="matching_head")(feats)
+            trs = trs + corr[..., None]
+            ret = dict(ret)
+            ret["g_match_t"] = match_aux["t_hat"]
 
         g_T = translation_matrix_from_vector(jax.lax.stop_gradient(trs))
 

@@ -471,6 +471,35 @@ def load_pretrained(path: str, state: TrainState, cfg: Config) -> TrainState:
         # padded model computes EXACTLY the knob-off function at load time
         # (config.py g_coord_channels).
         coord_pad = bool(cfg.get("g_coord_channels", False))
+        # Second sanctioned migration: with g_matching on, the zero-init
+        # matching head's params don't exist in pre-knob snapshots — keep
+        # their fresh (zero) init, which makes the migrated model compute
+        # EXACTLY the knob-off function at load time (config.py g_matching).
+        match_fill = bool(cfg.get("g_matching", False))
+
+        def _is_matching_path(parts) -> bool:
+            return any(p == "matching" or p.startswith("matching")
+                       for p in parts)
+
+        def _fill_matching(fresh_tree, snap_tree, label):
+            from flax.traverse_util import flatten_dict as _flatten
+
+            fresh_flat = _flatten(jax.device_get(fresh_tree))
+            snap_flat = _flatten(snap_tree) if snap_tree else {}
+            filled = [k for k in fresh_flat
+                      if k not in snap_flat and _is_matching_path(k)]
+            for kpath in filled:
+                snap_flat[kpath] = _np.asarray(fresh_flat[kpath])
+            if filled:
+                print(f"=> g_matching: {len(filled)} {label} arrays absent "
+                      "from the snapshot keep their fresh (zero) init")
+            return _unflat(snap_flat)
+
+        if match_fill:
+            params = _fill_matching(state.params, params, "param")
+            if snap_ema is not None and state.ema_params is not None:
+                snap_ema = _fill_matching(state.ema_params, snap_ema,
+                                          "ema")
 
         def _check(path, t, v):
             if t.shape != v.shape:
@@ -524,6 +553,11 @@ def load_pretrained(path: str, state: TrainState, cfg: Config) -> TrainState:
         leaves = []
         for pstr, leaf in live:
             if pstr not in opt_arrays:
+                if match_fill and _is_matching_path(pstr.split("/")):
+                    # migrated matching head: fresh Adam moments (zeros)
+                    # for the new params, lossless resume for the rest
+                    leaves.append(jax.device_get(leaf))
+                    continue
                 raise ValueError(
                     f"full-state snapshot missing opt_state/{pstr} — was it "
                     "exported with the same optimizer config "
