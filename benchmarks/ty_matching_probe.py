@@ -5,22 +5,34 @@ lateral axis unlearned while t_x/t_z converged (docs/ACCURACY.md).  The
 remaining suspect is the READOUT: G's 1x1-conv head + global mean pool can
 average per-pixel VALUE comparisons (that is why depth-axis x and vertical z
 work) but cannot express a DISPLACEMENT between where image structure is and
-where the cloud lands.  Before building a matching module, this probe
-measures whether the displacement signal exists at all — with zero training:
-scan candidate translations along one velo axis, re-project the cloud at the
-EF(H)-aligned pose shifted by each candidate, and score the masked robust
-mismatch between the candidate sparse depth and a dense depth image.
+where the cloud lands.  Before training a matching head, this probe measures
+whether the displacement signal exists at all — with zero training — by
+running the SHIPPED scan module (efgh_tpu/models/matching.py) over the
+frozen eval split.
 
-Arms (per scanned axis):
-  dimg   — match against G's own dense depth head (the signal an in-model
-           matching readout could actually use at inference)
-  oracle — match against the TRUE gt-pose depth render of the same cloud
-           (upper bound: a flat oracle curve means the score machinery is
-           broken, not that the signal is absent)
+Arms (per scanned axis, 2x2):
+  target:  dimg   — match against G's own dense depth head (the signal the
+                    in-model readout actually uses at inference)
+           oracle — match against the TRUE gt-pose depth render of the same
+                    cloud (upper bound; a flat oracle curve means the score
+                    machinery is broken, not that the signal is absent)
+  t_base:  pred   — off-axis components held at the pooled head's own
+                    estimate (deployment semantics: matching REFINES the
+                    pooled readout)
+           gt     — off-axis components held at the true residual (isolates
+                    the scanned axis; a pred-arm failure with a gt-arm
+                    success means off-axis error is drowning the cue)
 
 The x-axis scan is the built-in positive control: t_x IS a depth-mismatch
 cue (the trained trunk demonstrably reads it), so the probe must recover it
 for its t_y verdict to mean anything.
+
+v2 (this file): everything device-resident.  v1 pulled the (900,1600)
+g_depth to host per sample and rendered oracles host-side — those bulk
+readbacks hit the tunnel's INVALID_ARGUMENT stale-transport failure
+(docs/PERFORMANCE.md) and the one-axis-at-EFH-error scan corrupted the
+landscape (the gt residual is 3D).  Now one jitted function per sample
+returns only curves (A, K) + scalars, and every scan is base-centered.
 
 Writes benchmarks/ty_probe_result.json.  Reference readout being probed:
 /root/reference/nets/gnet.py:142-166 (1x1 convs + mean over HW).
@@ -29,7 +41,8 @@ Usage:
     python benchmarks/ty_matching_probe.py [config] [ckpt.npz]
     # defaults: configs/test_synthetic_s6a_running.yaml + its ckpt_path
 Env: EFGH_PROBE_SAMPLES (default 16), EFGH_PROBE_SPAN (default 3.0),
-     EFGH_PROBE_K (default 61), EFGH_PROBE_CLIP (robust clip, default 3.0 m)
+     EFGH_PROBE_K (default 25), EFGH_PROBE_CLIP (default 3.0 m),
+     EFGH_PROBE_DS (compare-res downsample, default 4), EFGH_PROBE_CPU
 """
 
 import json
@@ -75,12 +88,9 @@ def main():
     from efgh_tpu.config import Config
     from efgh_tpu.data import build_dataset
     from efgh_tpu.data.pipeline import collate
-    from efgh_tpu.geometry import (
-        compute_cam_T_velo,
-        depth_image_from_pc,
-        translation_matrix_from_vector,
-    )
+    from efgh_tpu.geometry import depth_image_from_pc
     from efgh_tpu.models import build_model
+    from efgh_tpu.models.matching import LateralMatching
     from efgh_tpu.ops.lattice import set_merge_backend
     from efgh_tpu.train.loop import load_pretrained
     from efgh_tpu.train.state import create_state
@@ -91,8 +101,9 @@ def main():
     ckpt = sys.argv[2] if len(sys.argv) > 2 else str(cfg.ckpt_path)
     n_samples = int(os.environ.get("EFGH_PROBE_SAMPLES", "16"))
     span = float(os.environ.get("EFGH_PROBE_SPAN", "3.0"))
-    k = int(os.environ.get("EFGH_PROBE_K", "61"))
+    k = int(os.environ.get("EFGH_PROBE_K", "25"))
     clip = float(os.environ.get("EFGH_PROBE_CLIP", "3.0"))
+    ds_factor = int(os.environ.get("EFGH_PROBE_DS", "4"))
 
     # forward-only driver path: reliability over speed (train/loop.py
     # forces the lax.sort merge under auto for the same reason)
@@ -103,7 +114,11 @@ def main():
     n_samples = min(n_samples, len(ds))
     h, w = (int(x) for x in cfg.raw_cam_img_size)
     deltas = np.linspace(-span, span, k).astype(np.float32)
-    deltas_j = jnp.asarray(deltas)
+
+    matcher = LateralMatching(
+        raw_cam_img_size=(h, w), span=span, k=k, clip=clip,
+        downsample=ds_factor, axes=(0, 1),
+        projection_mode=str(cfg.get("projection_mode", "near")))
 
     batch0 = collate([ds[0]])
     state = create_state(model, cfg, batch0, jax.random.PRNGKey(0))
@@ -113,79 +128,85 @@ def main():
         print("[probe] ckpt='fresh': untrained weights (shape smoke only — "
               "the dimg arm is meaningless)")
 
-    # running-BN forward (the reference protocol / headline eval mode);
-    # return only what the scans need — g_depth is (1, 1, H, W)
     @jax.jit
-    def fwd(params, batch_stats, pc, img, calib, A):
+    def probe_one(params, batch_stats, pc, img, calib, A, gt_T, gt_cam,
+                  img_mask):
+        """Forward + all four scan arms for one batch.  Tiny outputs only."""
         ret = model.apply({"params": params, "batch_stats": batch_stats},
                           pc, img, calib, A, train=False)
-        return {"e_l": ret["e_l"], "f_l": ret["f_l"], "h_c": ret["h_c"],
-                "g_depth": ret["g_depth"]}
+        efh = ret["f_l"] @ ret["e_l"]                      # (B, 4, 4)
+        gt_resid = (gt_T @ jnp.linalg.inv(efh))[:, :3, 3]  # (B, 3)
+        pred = ret["g_trs"][..., 0]                        # (B, 3)
+        dimg = ret["g_depth"][:, 0]                        # (B, H, W)
+        gmask = ret["g_mask"][:, 0]                        # (B, H, W) prob
+        # oracle target: the same cloud rendered at the TRUE pose
+        oracle = jax.vmap(lambda p, c: depth_image_from_pc(
+            p, c, (h, w), mode=matcher.projection_mode))(pc, gt_cam)[:, 3]
+        imask = img_mask[:, 0].astype(jnp.float32)         # (B, H, W)
 
-    @jax.jit
-    def scan_axis(pc, calib, A, h_c, efh_s2s1, dense, img_mask, axis_onehot):
-        """Mismatch-vs-candidate curve along one velo axis.
+        out = {"gt_resid": gt_resid, "pred": pred}
+        for base_name, base in (("pred", pred), ("gt", gt_resid)):
+            for tgt_name, dense, msk in (("dimg", dimg, gmask),
+                                         ("oracle", oracle, imask)):
+                _, aux = matcher.apply(
+                    {}, pc, dense, msk, ret["efh_cam_T_velo"], efh,
+                    t_base=base)
+                out[f"{base_name}_{tgt_name}"] = {
+                    "t_hat": aux["t_hat"], "curves": aux["curves"]}
+        return out
 
-        dense: (H, W) target depth (dimg or the oracle gt render).
-        Returns (K,) masked robust mean |dense - candidate sparse depth|.
-        """
-        def score(delta):
-            t = (delta * axis_onehot)[None]  # (1, 3)
-            l_t = translation_matrix_from_vector(t) @ efh_s2s1  # (1, 4, 4)
-            cam = compute_cam_T_velo(h_c, l_t, calib, A)  # (1, 3, 4)
-            d = depth_image_from_pc(pc[0], cam[0], (h, w),
-                                    mode=str(cfg.get("projection_mode",
-                                                     "near")))
-            wd = d[3]  # (H, W) projective depth, 0 at empty pixels
-            valid = (wd > 0) & (img_mask > 0)
-            rob = jnp.minimum(jnp.abs(dense - wd), clip)
-            return jnp.sum(rob * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    def fetch(fn, *args, tries=3):
+        """device_get with stale-transport retry (docs/PERFORMANCE.md)."""
+        for attempt in range(tries):
+            try:
+                return jax.device_get(fn(*args))
+            except Exception as e:  # noqa: BLE001 — transport errors vary
+                if attempt == tries - 1:
+                    raise
+                print(f"[probe] readback failed ({type(e).__name__}: {e}); "
+                      f"retry {attempt + 1}/{tries - 1}", flush=True)
+                time.sleep(5.0)
 
-        return jax.lax.map(score, deltas_j)
-
-    axes = {"x": np.array([1.0, 0, 0], np.float32),
-            "y": np.array([0, 1.0, 0], np.float32)}
+    arms = [f"{b}_{t}" for b in ("pred", "gt") for t in ("dimg", "oracle")]
     samples = []
     for i in range(n_samples):
         b = collate([ds[i]])
-        out = jax.device_get(fwd(state.params, state.batch_stats,
-                                 b["pc"], b["img"], b["calib"], b["A"]))
-        efh = np.asarray(out["f_l"]) @ np.asarray(out["e_l"])  # (1,4,4)
-        gt_t = np.asarray(b["gts"]["sensor2_T_sensor1"])[0]
-        gt_g = (gt_t @ np.linalg.inv(efh[0]))[:3, 3]  # G's true target
-        dimg = jnp.asarray(out["g_depth"][0, 0])  # (H, W)
-        img_mask = jnp.asarray(b["gts"]["img_mask"][0, 0])
-        # oracle target: the same cloud rendered at the TRUE pose
-        gt_cam = jnp.asarray(b["gts"]["cam_T_velo"][0])
-        oracle = depth_image_from_pc(jnp.asarray(b["pc"][0]), gt_cam, (h, w))[3]
-
-        rec = {"i": i, "gt_g_trs": [float(v) for v in gt_g], "curves": {}}
-        for ax, onehot in axes.items():
-            for arm, dense in (("dimg", dimg), ("oracle", oracle)):
-                curves = jax.device_get(scan_axis(
-                    jnp.asarray(b["pc"]), jnp.asarray(b["calib"]),
-                    jnp.asarray(b["A"]), jnp.asarray(out["h_c"]),
-                    jnp.asarray(efh), dense, img_mask, jnp.asarray(onehot)))
-                est = _refine_argmin(deltas, np.asarray(curves))
-                rec["curves"][f"{ax}_{arm}"] = {
-                    "est": est,
-                    "score_at_0": float(curves[k // 2]),
-                    "score_min": float(np.min(curves)),
-                    "scores": [round(float(v), 5) for v in curves],
+        out = fetch(probe_one, state.params, state.batch_stats,
+                    jnp.asarray(b["pc"]), jnp.asarray(b["img"]),
+                    jnp.asarray(b["calib"]), jnp.asarray(b["A"]),
+                    jnp.asarray(b["gts"]["sensor2_T_sensor1"]),
+                    jnp.asarray(b["gts"]["cam_T_velo"]),
+                    jnp.asarray(b["gts"]["img_mask"]))
+        gt = np.asarray(out["gt_resid"])[0]
+        rec = {"i": i, "gt_resid": [float(v) for v in gt],
+               "pred_trs": [float(v) for v in np.asarray(out["pred"])[0]],
+               "arms": {}}
+        for arm in arms:
+            curves = np.asarray(out[arm]["curves"])[0]      # (A, K)
+            t_hat = np.asarray(out[arm]["t_hat"])[0]        # (A,)
+            for ax_i, ax in enumerate("xy"):
+                c = curves[ax_i]
+                rec["arms"][f"{ax}_{arm}"] = {
+                    "est": _refine_argmin(deltas, c),
+                    "soft": float(t_hat[ax_i]),
+                    "score_at_0": float(c[k // 2]),
+                    "score_min": float(np.min(c)),
+                    "scores": [round(float(v), 5) for v in c],
                 }
         samples.append(rec)
-        print(f"[probe] sample {i}: gt=({gt_g[0]:+.2f},{gt_g[1]:+.2f},"
-              f"{gt_g[2]:+.2f})  "
+        print(f"[probe] sample {i}: gt=({gt[0]:+.2f},{gt[1]:+.2f},"
+              f"{gt[2]:+.2f})  "
               + "  ".join(f"{kk}={vv['est']:+.2f}"
-                          for kk, vv in rec["curves"].items()),
+                          for kk, vv in rec["arms"].items()
+                          if "dimg" in kk),
               flush=True)
 
     # per-axis/arm regression of est vs gt over the sample set
     summary = {}
-    for ax_i, ax in (("0", "x"), ("1", "y")):
-        gt_vals = np.array([s["gt_g_trs"][int(ax_i)] for s in samples])
-        for arm in ("dimg", "oracle"):
-            est = np.array([s["curves"][f"{ax}_{arm}"]["est"]
+    for ax_i, ax in enumerate("xy"):
+        gt_vals = np.array([s["gt_resid"][ax_i] for s in samples])
+        for arm in arms:
+            est = np.array([s["arms"][f"{ax}_{arm}"]["est"]
                             for s in samples])
             gv = gt_vals - gt_vals.mean()
             ev = est - est.mean()
@@ -203,7 +224,8 @@ def main():
 
     result = {
         "config": cfg_path, "ckpt": ckpt, "n_samples": n_samples,
-        "grid": {"span_m": span, "k": k, "clip_m": clip},
+        "grid": {"span_m": span, "k": k, "clip_m": clip,
+                 "downsample": ds_factor},
         "summary": summary, "samples": samples,
         "wall_s": round(time.time() - t0, 1),
     }

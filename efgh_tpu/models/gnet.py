@@ -156,6 +156,9 @@ class Gnet(nn.Module):
                 jax.lax.stop_gradient(mask[..., 0]),
                 jax.lax.stop_gradient(ret["efh_cam_T_velo"]),
                 jax.lax.stop_gradient(ret["sensor2_T_sensor1"]),
+                # each axis scans with the other two at the pooled head's
+                # own estimate (the gt residual is 3D; matching.py docstring)
+                t_base=jax.lax.stop_gradient(trs[..., 0]),
             )
             corr = nn.Dense(3, kernel_init=nn.initializers.zeros,
                             bias_init=nn.initializers.zeros,

@@ -73,13 +73,20 @@ class LateralMatching(nn.Module):
     @nn.compact
     def __call__(self, pc: jnp.ndarray, dimg: jnp.ndarray,
                  gmask: jnp.ndarray, efh_cam: jnp.ndarray,
-                 l_mat: jnp.ndarray):
+                 l_mat: jnp.ndarray, t_base: jnp.ndarray | None = None):
         """Args (caller stop-grads every one of these):
           pc:      (B, 3, N) decalibrated cloud.
           dimg:    (B, H, W) G's dense depth prediction, float32.
           gmask:   (B, H, W) G's validity probability in [0, 1].
           efh_cam: (B, 3, 4) EF(H)-aligned projection.
           l_mat:   (B, 4, 4) f_l @ e_l (the accumulated rigid correction).
+          t_base:  (B, 3) base translation the scan is centered on — the
+            pooled head's own prediction.  The gt residual is 3D (each axis
+            up to dclb.l_trs_range); scanning one axis with the others left
+            at the EF(H) error corrupts the cost landscape (measured:
+            benchmarks/ty_matching_probe.py "efh-base" arms), so each axis
+            scans with the other two held at the model's best estimate —
+            the matching stage REFINES the pooled readout.  None = zeros.
         """
         h, w = self.raw_cam_img_size
         ds = int(self.downsample)
@@ -90,6 +97,8 @@ class LateralMatching(nn.Module):
         deltas = jnp.linspace(-self.span, self.span, self.k,
                               dtype=jnp.float32)
 
+        if t_base is None:
+            t_base = jnp.zeros((pc.shape[0], 3), jnp.float32)
         dimg_d = _block_mean(dimg.astype(jnp.float32), ds)
         gmask_d = _block_mean(gmask.astype(jnp.float32), ds)
         # scale pixel rows of the projection for the low-res render
@@ -98,9 +107,13 @@ class LateralMatching(nn.Module):
 
         def axis_curves(axis_idx: int) -> jnp.ndarray:
             e_axis = jnp.zeros((3,), jnp.float32).at[axis_idx].set(1.0)
+            # the scanned axis REPLACES the base component (the candidate
+            # grid stays absolute, not base-relative, so argmin features
+            # share units with g_trs)
+            base = t_base.astype(jnp.float32) * (1.0 - e_axis)[None]
 
             def score(delta):
-                t = (rl_t @ (delta * e_axis)[:, None])[..., 0]  # (B, 3)
+                t = (rl_t @ (base + delta * e_axis)[..., None])[..., 0]
                 # efh_cam @ T(t): only the last column moves
                 shift = efh_cam[:, :, :3] @ t[..., None]  # (B, 3, 1)
                 cam = jnp.concatenate(
