@@ -34,15 +34,28 @@ readbacks hit the tunnel's INVALID_ARGUMENT stale-transport failure
 landscape (the gt residual is 3D).  Now one jitted function per sample
 returns only curves (A, K) + scalars, and every scan is base-centered.
 
+v3: one sample per PROCESS.  At this executable size (full forward +
+2x2x25 renders) the tunnel mis-executes REPEATED runs of the same
+loaded executable — sample 0 returns correctly, every later execution
+readback fails INVALID_ARGUMENT and in-process retries stay poisoned
+(measured on this host, 2026-08-21; same family as the repeated-Pallas
+failure, docs/PERFORMANCE.md, here with the lax.sort merge).  A fresh
+process resets the transport and the persistent XLA compile cache makes
+re-entry ~10 s, so each invocation scores EFGH_PROBE_SAMPLES samples
+starting at EFGH_PROBE_START, appends per-sample records to
+benchmarks/ty_probe_samples.jsonl, and `--summarize` merges them.
+Driver: scripts/run_ty_probe.sh.
+
 Writes benchmarks/ty_probe_result.json.  Reference readout being probed:
 /root/reference/nets/gnet.py:142-166 (1x1 convs + mean over HW).
 
 Usage:
     python benchmarks/ty_matching_probe.py [config] [ckpt.npz]
-    # defaults: configs/test_synthetic_s6a_running.yaml + its ckpt_path
-Env: EFGH_PROBE_SAMPLES (default 16), EFGH_PROBE_SPAN (default 3.0),
-     EFGH_PROBE_K (default 25), EFGH_PROBE_CLIP (default 3.0 m),
-     EFGH_PROBE_DS (compare-res downsample, default 4), EFGH_PROBE_CPU
+    python benchmarks/ty_matching_probe.py --summarize
+Env: EFGH_PROBE_START (default 0), EFGH_PROBE_SAMPLES (default 16),
+     EFGH_PROBE_SPAN (default 3.0), EFGH_PROBE_K (default 25),
+     EFGH_PROBE_CLIP (default 3.0 m), EFGH_PROBE_DS (default 4),
+     EFGH_PROBE_CPU
 """
 
 import json
@@ -54,6 +67,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "ty_probe_result.json")
+SAMPLES_JL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "ty_probe_samples.jsonl")
 
 
 def _refine_argmin(deltas, scores):
@@ -99,6 +114,7 @@ def main():
         "configs/test_synthetic_s6a_running.yaml"
     cfg = Config.from_yaml(cfg_path)
     ckpt = sys.argv[2] if len(sys.argv) > 2 else str(cfg.ckpt_path)
+    start = int(os.environ.get("EFGH_PROBE_START", "0"))
     n_samples = int(os.environ.get("EFGH_PROBE_SAMPLES", "16"))
     span = float(os.environ.get("EFGH_PROBE_SPAN", "3.0"))
     k = int(os.environ.get("EFGH_PROBE_K", "25"))
@@ -168,8 +184,7 @@ def main():
                 time.sleep(5.0)
 
     arms = [f"{b}_{t}" for b in ("pred", "gt") for t in ("dimg", "oracle")]
-    samples = []
-    for i in range(n_samples):
+    for i in range(start, min(start + n_samples, len(ds))):
         b = collate([ds[i]])
         out = fetch(probe_one, state.params, state.batch_stats,
                     jnp.asarray(b["pc"]), jnp.asarray(b["img"]),
@@ -193,15 +208,33 @@ def main():
                     "score_min": float(np.min(c)),
                     "scores": [round(float(v), 5) for v in c],
                 }
-        samples.append(rec)
+        rec["grid"] = {"span_m": span, "k": k, "clip_m": clip,
+                       "downsample": ds_factor}
+        rec["config"], rec["ckpt"] = cfg_path, ckpt
+        with open(SAMPLES_JL, "a") as f:
+            f.write(json.dumps(rec) + "\n")
         print(f"[probe] sample {i}: gt=({gt[0]:+.2f},{gt[1]:+.2f},"
               f"{gt[2]:+.2f})  "
               + "  ".join(f"{kk}={vv['est']:+.2f}"
                           for kk, vv in rec["arms"].items()
                           if "dimg" in kk),
               flush=True)
+    print(f"[probe] chunk done in {time.time() - t0:.1f}s", flush=True)
 
-    # per-axis/arm regression of est vs gt over the sample set
+
+def summarize():
+    """Merge ty_probe_samples.jsonl -> ty_probe_result.json (+ stdout)."""
+    import numpy as np
+
+    by_i = {}
+    with open(SAMPLES_JL) as f:
+        for line in f:
+            rec = json.loads(line)
+            by_i[rec["i"]] = rec  # last write per sample wins
+    samples = [by_i[i] for i in sorted(by_i)]
+    if not samples:
+        raise SystemExit("no samples in " + SAMPLES_JL)
+    arms = [f"{b}_{t}" for b in ("pred", "gt") for t in ("dimg", "oracle")]
     summary = {}
     for ax_i, ax in enumerate("xy"):
         gt_vals = np.array([s["gt_resid"][ax_i] for s in samples])
@@ -223,16 +256,17 @@ def main():
             }
 
     result = {
-        "config": cfg_path, "ckpt": ckpt, "n_samples": n_samples,
-        "grid": {"span_m": span, "k": k, "clip_m": clip,
-                 "downsample": ds_factor},
+        "config": samples[0].get("config"), "ckpt": samples[0].get("ckpt"),
+        "n_samples": len(samples), "grid": samples[0].get("grid"),
         "summary": summary, "samples": samples,
-        "wall_s": round(time.time() - t0, 1),
     }
     with open(RESULT, "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps({"summary": summary, "wall_s": result["wall_s"]}))
+    print(json.dumps({"n_samples": len(samples), "summary": summary}))
 
 
 if __name__ == "__main__":
-    main()
+    if "--summarize" in sys.argv:
+        summarize()
+    else:
+        main()
