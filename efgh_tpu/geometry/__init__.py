@@ -13,6 +13,7 @@ from efgh_tpu.geometry.rotations import (
 from efgh_tpu.geometry.projections import (
     range_image_from_pc,
     depth_image_from_pc,
+    sparse_depth_from_pc,
     rotate_image,
 )
 from efgh_tpu.geometry.metrics import (

@@ -114,6 +114,40 @@ def depth_image_from_pc(pc: jnp.ndarray, cam_T_velo: jnp.ndarray, cam_img_size,
     return img.reshape(h, w_sz, 4).transpose(2, 0, 1)
 
 
+def sparse_depth_from_pc(pc: jnp.ndarray, cam_T_velo: jnp.ndarray,
+                         cam_img_size, mode: str = "near") -> jnp.ndarray:
+    """Depth-only `depth_image_from_pc`: (H, W) projective depth w of the
+    winning point, 0 at empty pixels.
+
+    Same projection + winner rule, but sorts only the (pixel, depth) pair
+    instead of the full 6-array payload — ~3x less `lax.sort` traffic.
+    Built for the matching scan's K-candidate re-renders
+    (models/matching.py), which consume nothing but the depth channel.
+    """
+    h, w_sz = cam_img_size
+    pts = jnp.concatenate(
+        [pc[:3].astype(jnp.float32), jnp.ones((1, pc.shape[1]), jnp.float32)],
+        axis=0)
+    xyw = cam_T_velo.astype(jnp.float32) @ pts
+    wd = xyw[2]
+    safe_w = jnp.where(jnp.abs(wd) > 1e-12, wd, 1e-12)
+    x = xyw[0] / safe_w
+    y = xyw[1] / safe_w
+    valid = (x < w_sz) & (x > 0) & (y < h) & (y > 0) & (wd > 0)
+    xi = jnp.clip(x.astype(jnp.int32), 0, w_sz - 1)
+    yi = jnp.clip(y.astype(jnp.int32), 0, h - 1)
+    pix = jnp.where(valid, yi * w_sz + xi, h * w_sz)
+
+    order = wd if mode == "near" else -wd
+    pix_s, ord_s = jax.lax.sort((pix, order), num_keys=2)
+    first = jnp.concatenate([jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]])
+    write_idx = jnp.where(first & (pix_s < h * w_sz), pix_s, h * w_sz)
+    depth_s = ord_s if mode == "near" else -ord_s
+    out = jnp.zeros((h * w_sz + 1,), jnp.float32)
+    out = out.at[write_idx].set(depth_s, mode="drop")
+    return out[: h * w_sz].reshape(h, w_sz)
+
+
 @partial(jax.jit, static_argnames=("method",))
 def rotate_image(img: jnp.ndarray, rot_mat: jnp.ndarray,
                  method: str = "nearest") -> jnp.ndarray:

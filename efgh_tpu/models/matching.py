@@ -41,7 +41,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from efgh_tpu.geometry import depth_image_from_pc
+from efgh_tpu.geometry import sparse_depth_from_pc
 
 
 def _block_mean(x: jnp.ndarray, ds: int) -> jnp.ndarray:
@@ -119,9 +119,11 @@ class LateralMatching(nn.Module):
                 cam = jnp.concatenate(
                     [efh_cam[:, :, :3], efh_cam[:, :, 3:] + shift], axis=-1)
                 cam = cam * scale[None, :, None]
-                d = jax.vmap(lambda p, m: depth_image_from_pc(
+                # depth-only render: 2-array sort payload instead of the
+                # full 6-array winner scatter (bit-equal depth channel,
+                # tests/test_geometry.py sparse-depth parity)
+                wdep = jax.vmap(lambda p, m: sparse_depth_from_pc(
                     p, m, (hd, wd), mode=self.projection_mode))(pc, cam)
-                wdep = d[:, 3]  # (B, hd, wd)
                 valid = (wdep > 0).astype(jnp.float32) * gmask_d
                 rob = jnp.minimum(jnp.abs(dimg_d - wdep), self.clip)
                 return (jnp.sum(rob * valid, axis=(1, 2))

@@ -140,6 +140,22 @@ def test_depth_image_basic():
     np.testing.assert_allclose(img[2, 24, 32], 5.0, atol=1e-5)  # pz channel
 
 
+def test_sparse_depth_matches_full_render():
+    """Depth-only fast path == channel 3 of the full render, both modes."""
+    from efgh_tpu.geometry import sparse_depth_from_pc
+
+    rng = np.random.default_rng(0)
+    pc = jnp.asarray(rng.uniform(-8, 8, size=(3, 4096)).astype(np.float32)
+                     + np.array([[12.0], [0.0], [0.0]], np.float32))
+    K = jnp.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]], jnp.float32)
+    R = jnp.array([[0.0, -1, 0], [0, 0, -1], [1, 0, 0]], jnp.float32)
+    cam = K @ jnp.concatenate([R, jnp.zeros((3, 1))], axis=1)
+    for mode in ("near", "far"):
+        full = np.asarray(depth_image_from_pc(pc, cam, (48, 64), mode=mode))
+        fast = np.asarray(sparse_depth_from_pc(pc, cam, (48, 64), mode=mode))
+        np.testing.assert_allclose(fast, full[3], atol=1e-6)
+
+
 def _pil_match_rate(PIL, img, deg):
     pil_out = np.array(PIL.fromarray(img).rotate(deg))
     theta = math.radians(deg)
