@@ -160,9 +160,24 @@ class Gnet(nn.Module):
                 # own estimate (the gt residual is 3D; matching.py docstring)
                 t_base=jax.lax.stop_gradient(trs[..., 0]),
             )
-            corr = nn.Dense(3, kernel_init=nn.initializers.zeros,
-                            bias_init=nn.initializers.zeros,
-                            name="matching_head")(feats)
+            # AXIS-MASKED head: the scan features for axis a may only
+            # correct component a.  Segments 7/7b both measured feature
+            # leakage through a full 3-column head — the y-upweighted
+            # loss happily trades x error for y fit through whatever
+            # train-batch correlations the features carry, degrading the
+            # already-solved axes (val trs_x 0.28 -> 0.73 in 500 iters
+            # with a y-only scan, docs/ACCURACY.md).  One output per
+            # scanned axis, scattered into place by a constant one-hot:
+            # the un-scanned components revert to EXACT pooled behavior.
+            scan_axes = kw.get("axes", (0, 1))
+            corr_ax = nn.Dense(len(scan_axes),
+                               kernel_init=nn.initializers.zeros,
+                               bias_init=nn.initializers.zeros,
+                               name="matching_head")(feats)  # (B, A)
+            scatter = jnp.zeros((len(scan_axes), 3), corr_ax.dtype)
+            for row, ax in enumerate(scan_axes):
+                scatter = scatter.at[row, ax].set(1.0)
+            corr = corr_ax @ scatter  # (B, 3), zero off the scanned axes
             trs = trs + corr[..., None]
             ret = dict(ret)
             ret["g_match_t"] = match_aux["t_hat"]
