@@ -9,10 +9,10 @@
 #   3. same eval under eval_bn: running (reference main.py:132-147 protocol)
 #   4. per-axis translation regression on both prediction CSVs
 #
-# Usage: scripts/eval_s7.sh [ckpt] (default ckpts/synth_s7b/model_best)
+# Usage: scripts/eval_s7.sh [ckpt] (default ckpts/synth_s7c/model_best)
 set -eu
 cd "$(dirname "$0")/.."
-CKPT="${1:-ckpts/synth_s7b/model_best}"
+CKPT="${1:-ckpts/synth_s7c/model_best}"
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-.cache/xla}"
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=10
 export EFGH_BENCH_CACHE_DIR="${EFGH_BENCH_CACHE_DIR:-.cache/synth}"
@@ -22,8 +22,8 @@ python scripts/export_weights.py "$CKPT" params/efgh_synth_s7.npz
 # full-state snapshot of the LATEST checkpoint (not model_best): Adam
 # moments + step, so the next round resumes the segment losslessly after
 # the host rebuild (configs/train_synthetic_b2_s7_resume.yaml)
-if [ -d ckpts/synth_s7b/checkpoint ]; then
-  python scripts/export_weights.py ckpts/synth_s7b/checkpoint \
+if [ -d ckpts/synth_s7c/checkpoint ]; then
+  python scripts/export_weights.py ckpts/synth_s7c/checkpoint \
     params/efgh_synth_s7_full.npz --with-opt
 fi
 
