@@ -77,6 +77,34 @@ def test_matching_head_is_wired():
                            np.asarray(out1["g_trs"]))
 
 
+def test_masked_head_cannot_move_unscanned_axes():
+    """The axis-masked head (gnet.py): with axes=(1,), even a NONZERO
+    head may only shift trs component 1 — x/z must equal the knob-off
+    output bit-exactly.  Pins the segment-7/7b leak fix: a full 3-column
+    head let y features degrade the already-solved axes
+    (docs/ACCURACY.md)."""
+    pc, img, ret = _inputs()
+    g_on = Gnet(raw_cam_img_size=RAW, matching=(("axes", (1,)), ("k", 7)))
+    g_off = Gnet(raw_cam_img_size=RAW, matching=False)
+    v = g_on.init(jax.random.PRNGKey(0), pc, img, ret, train=False)
+    assert v["params"]["matching_head"]["kernel"].shape == (4, 1)
+    p1 = jax.tree_util.tree_map(np.asarray, jax.device_get(v["params"]))
+    p1["matching_head"]["kernel"] = np.full_like(
+        p1["matching_head"]["kernel"], 0.7)
+    p1["matching_head"]["bias"] = np.full_like(
+        p1["matching_head"]["bias"], 0.3)
+    out_on = g_on.apply({"params": p1, "batch_stats": v["batch_stats"]},
+                        pc, img, ret, train=False)
+    out_off = g_off.apply(
+        {"params": _strip_matching(p1), "batch_stats": v["batch_stats"]},
+        pc, img, ret, train=False)
+    trs_on = np.asarray(out_on["g_trs"])[..., 0]
+    trs_off = np.asarray(out_off["g_trs"])[..., 0]
+    np.testing.assert_array_equal(trs_on[:, 0], trs_off[:, 0])
+    np.testing.assert_array_equal(trs_on[:, 2], trs_off[:, 2])
+    assert not np.allclose(trs_on[:, 1], trs_off[:, 1])
+
+
 def test_matching_recovers_known_translation():
     """Functional test of the cost scan itself: when the dense target is
     the true-pose render of the same cloud, the argmin must sit at the
